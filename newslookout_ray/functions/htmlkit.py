@@ -1,0 +1,259 @@
+"""Minimal HTML DOM + link extraction + article-body extraction.
+
+The reference uses BeautifulSoup/lxml (absent here); this module provides
+a stdlib ``html.parser`` based mini-DOM with exactly the query surface the
+reference's extraction code needs:
+
+  - find_all(tag, attrs) with bs4-style class matching
+  - get_text() — concatenation of text descendants in document order
+  - S5 extract_links            — reference scraper_utils.py:437-474
+  - T7 extract_article_body     — reference plugins/mod_en_in_ecotimes.py:637-762
+    (the five-format fallback chain; the per-site format table is the
+    SiteProfile extension surface, see stages/extract.py)
+
+bs4 class-attr matching semantics replicated: a wanted class string with
+whitespace matches the element's full ``class`` attribute string exactly
+(including trailing spaces — the reference relies on "artData clr " vs
+"artData clr paywall"); a single token matches any one of the element's
+classes.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from .urlkit import BAD_LINK_PREFIXES, is_valid_url, urlsplit
+
+_VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag, attrs=None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children = []  # Node or str (text)
+        self.parent = parent
+
+    def get_text(self) -> str:
+        """All text descendants concatenated in document order (bs4 getText())."""
+        parts = []
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            if isinstance(child, str):
+                parts.append(child)
+            else:
+                stack.append(iter(child.children))
+        return "".join(parts)
+
+    def _matches(self, tag, attrs) -> bool:
+        if tag is not None and self.tag != tag:
+            return False
+        if attrs:
+            for key, wanted in attrs.items():
+                mine = self.attrs.get(key)
+                if mine is None:
+                    return False
+                if key == "class":
+                    # bs4 semantics: multi-token wanted string → exact attr
+                    # string match; single token → membership in class list
+                    if (" " in wanted or wanted.endswith(" ")):
+                        if mine != wanted:
+                            return False
+                    elif wanted not in mine.split():
+                        return False
+                elif mine != wanted:
+                    return False
+        return True
+
+    def find_all(self, tag=None, attrs=None):
+        """Matching descendants in document order (like soup.find_all)."""
+        out = []
+        stack = [iter(self.children)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+                continue
+            if isinstance(child, str):
+                continue
+            if child._matches(tag, attrs):
+                out.append(child)
+            stack.append(iter(child.children))
+        return out
+
+    def find(self, tag=None, attrs=None):
+        found = self.find_all(tag, attrs)
+        return found[0] if found else None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(Node(tag, dict(attrs), self.stack[-1]))
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag (lenient, like html parsers)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html_text: str) -> Node:
+    """Parse HTML into a mini-DOM root node."""
+    builder = _TreeBuilder()
+    builder.feed(html_text)
+    builder.close()
+    return builder.root
+
+
+# ---------------------------------------------------------------------------
+# S5 — link extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_links(url: str, doc_root: Node) -> list:
+    """All <a href> links, relative '/'-links resolved against the page's
+    scheme+netloc, junk schemes dropped, each candidate validity-checked.
+
+    Exact decision structure of reference scraper_utils.py:437-474,
+    preserving document order (duplicates retained — dedup happens later,
+    as in the reference).
+    """
+    all_links = []
+    anchors = doc_root.find_all("a")
+    try:
+        page = urlsplit(url)
+    except ValueError:
+        return all_links
+    for tag in anchors:
+        if "href" not in tag.attrs:
+            continue
+        link = tag.attrs["href"]
+        if link.startswith("/"):
+            proper = page.scheme + "://" + page.netloc + link
+            if is_valid_url(proper):
+                all_links.append(proper)
+        elif not any(link.startswith(p) for p in BAD_LINK_PREFIXES):
+            if is_valid_url(link):
+                all_links.append(link)
+    return all_links
+
+
+def extract_links_from_html(url: str, html_text: str) -> list:
+    return extract_links(url, parse_html(html_text))
+
+
+# ---------------------------------------------------------------------------
+# T7 — article-body extraction (five-format fallback chain)
+# ---------------------------------------------------------------------------
+
+
+def _format1(root: Node) -> str:
+    """div.article-body[itemprop=mainContentOfPage] → div.post-text artcle-txt
+    article-type-news → first div.Normal text (ecotimes Format1, :663-686)."""
+    body = root.find_all("div", {"itemprop": "mainContentOfPage", "class": "article-body"})
+    if body:
+        sub = body[0].find_all("div", {"class": "post-text artcle-txt article-type-news"})
+        if sub:
+            subsub = sub[0].find_all("div", {"class": "Normal"})
+            if subsub:
+                return subsub[0].get_text()
+    return ""
+
+
+def _format2(root: Node) -> str:
+    """article.'artData clr paywall' → first div with class token artText (:688-708)."""
+    body = root.find_all("article", {"class": "artData clr paywall"})
+    if body:
+        sub = body[0].find_all("div", {"class": "artText"})
+        if sub:
+            return sub[0].get_text()
+    return ""
+
+
+def _format3(root: Node) -> str:
+    """div.main-content → concat of direct <p> children texts (:710-728)."""
+    body = root.find_all("div", {"class": "main-content"})
+    text = ""
+    if body:
+        for child in body[0].children:
+            if not isinstance(child, str) and child.tag == "p":
+                text += child.get_text()
+    return text
+
+
+def _format4(root: Node) -> str:
+    """article with exact class string 'artData clr ' (trailing space) (:730-744)."""
+    body = root.find_all("article", {"class": "artData clr "})
+    if body:
+        return body[0].get_text()
+    return ""
+
+
+def _format5(root: Node) -> str:
+    """first div with class token artText (:746-761)."""
+    body = root.find_all("div", {"class": "artText"})
+    if body:
+        return body[0].get_text()
+    return ""
+
+
+BODY_FORMATS = {
+    "format1": _format1,
+    "format2": _format2,
+    "format3": _format3,
+    "format4": _format4,
+    "format5": _format5,
+}
+
+
+def extract_article_body(html_content: str) -> str:
+    """Five-format fallback chain, exact gating of ecotimes
+    extractArticleBody (mod_en_in_ecotimes.py:637-662): format N+1 is only
+    tried when the text so far is shorter than 5 chars AND the gating
+    selector for that format is present (formats 2-4); format 5 is the
+    unconditional last resort.
+    """
+    root = parse_html(html_content)
+    body_text = _format1(root)
+    if len(body_text) < 5 and root.find_all("article", {"class": "artData clr paywall"}):
+        body_text = _format2(root)
+    if len(body_text) < 5 and root.find_all("div", {"class": "blog-show"}):
+        body_text = _format3(root)
+    if len(body_text) < 5 and root.find_all("article", {"class": "artData clr "}):
+        body_text = _format4(root)
+    if len(body_text) < 5:
+        body_text = _format5(root)
+    return body_text
+
+
+def extract_title(html_text: str) -> str:
+    """<title> text (newspaper-analogue title extraction, best effort)."""
+    root = parse_html(html_text)
+    node = root.find("title")
+    return node.get_text() if node else ""
