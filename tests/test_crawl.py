@@ -1,0 +1,123 @@
+"""Crawl-engine equivalence vs the sequential reference-semantics
+simulator: per-host fetch order, final seen set, byte-identical article
+text, resume-from-checkpoint without re-fetching."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from newslookout_ray.pipelines.crawl import CrawlConfig, CrawlRun, read_crawl_order, run_crawl
+from newslookout_ray.pipelines.simulator import simulate_crawl
+from newslookout_ray.sources.pages import PagesSpec, write_pages_corpus
+
+SPEC = PagesSpec(n_pages=220, n_hosts=8, seed=13)
+
+
+def _cfg(tmp: str, rounds: int = 2) -> CrawlConfig:
+    return CrawlConfig(
+        rounds=rounds,
+        per_host_budget=6,
+        num_seen_shards=4,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        n_page_buckets=4,
+        extract_concurrency=2,
+        join_partitions=2,
+    )
+
+
+def _read_seen(ckpt: str) -> dict:
+    files = glob.glob(os.path.join(ckpt, "seen", "shard=*", "round=*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    return dict(zip(df["url"], df["state"]))
+
+
+def _read_articles(ckpt: str) -> dict:
+    files = glob.glob(os.path.join(ckpt, "articles", "round=*", "*.parquet"))
+    if not files:
+        return {}
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    return dict(zip(df["url"], df["text"]))
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    pages = os.path.join(root, "pages")
+    write_pages_corpus(SPEC, pages, n_buckets=4)
+    return root, pages
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrawlEquivalence:
+    def test_order_seen_articles_match_simulator(self, corpus):
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "eq"), rounds=3)
+        summary = run_crawl(pages, SPEC, cfg)
+        assert summary["rounds"][0]["selected"] == SPEC.n_hosts  # all seeds
+
+        sim = simulate_crawl(SPEC, cfg)
+
+        got = read_crawl_order(cfg)
+        got_t = sorted(
+            tuple(x)
+            for x in got[["host", "round", "order_in_host", "url", "state", "status"]]
+            .itertuples(index=False)
+        )
+        assert got_t == sorted(sim.order)
+
+        assert _read_seen(cfg.checkpoint_dir) == sim.seen
+
+        arts = _read_articles(cfg.checkpoint_dir)
+        assert set(arts) == set(sim.articles)
+        for url, text in arts.items():
+            assert text == sim.articles[url], url  # byte-identical contract
+
+    def test_politeness_budget_enforced(self, corpus):
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "eq"), rounds=3)  # reuse prior run's output
+        got = read_crawl_order(cfg)
+        per = got.groupby(["round", "host"]).size()
+        assert (per <= cfg.per_host_budget).all()
+        # order_in_host is dense 0..k-1 per (round, host)
+        for (_, _), grp in got.groupby(["round", "host"]):
+            assert sorted(grp["order_in_host"]) == list(range(len(grp)))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_resume_skips_completed_rounds_and_matches_fresh(self, corpus):
+        root, pages = corpus
+        part = _cfg(os.path.join(root, "resume"), rounds=2)
+        run_crawl(pages, SPEC, part)
+        fetched_before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(part.checkpoint_dir, "fetched", "round=*", "*.parquet"))
+        }
+
+        # resume with a larger horizon: rounds 0-1 must be skipped
+        cont = _cfg(os.path.join(root, "resume"), rounds=4)
+        summary = run_crawl(pages, SPEC, cont)
+        assert summary["resumed_at"] == 2
+        assert summary["rounds"][0] == {"round": 0, "skipped": True}
+        assert summary["rounds"][1] == {"round": 1, "skipped": True}
+        assert summary["seen_restored"] > 0
+
+        # completed rounds' outputs untouched (no re-fetch of seen URLs)
+        for f, mtime in fetched_before.items():
+            assert os.path.getmtime(f) == mtime
+
+        # final state identical to an uninterrupted 4-round run
+        fresh = _cfg(os.path.join(root, "fresh"), rounds=4)
+        run_crawl(pages, SPEC, fresh)
+        assert _read_seen(cont.checkpoint_dir) == _read_seen(fresh.checkpoint_dir)
+        assert _read_articles(cont.checkpoint_dir) == _read_articles(fresh.checkpoint_dir)
+
+        # and to the simulator at 4 rounds
+        sim = simulate_crawl(SPEC, fresh)
+        assert _read_seen(fresh.checkpoint_dir) == sim.seen
