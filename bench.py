@@ -1,0 +1,187 @@
+"""Benchmark harness.
+
+Runs the headline crawl pipeline (corpus synth → frontier rounds →
+fetch-sim join → extract → parquet) plus representative operator
+pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints
+ONE JSON line:
+
+  {"metric": "headline_total_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "crawl_pages_per_sec": ..., "crawl_fetches": ...}
+
+`python bench.py --scaling` re-runs the same job in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox evidence for the N→4N
+cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "6000"))
+CRAWL_HOSTS = 64
+CRAWL_ROUNDS = 3
+CRAWL_BUDGET = 40
+
+
+def _corpus_dir(sf_tag: str) -> str:
+    return f"/tmp/newslookout_ray/bench_corpus_{sf_tag}_{CRAWL_N_PAGES}"
+
+
+def build_corpus_once(sf_dir: str, spec):
+    """Corpus is a pure function of (sf texts, spec): build once, reuse
+    across bench runs (and warm the page cache with an untimed read)."""
+    from newslookout_ray.sources.pages import write_pages_corpus
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = _corpus_dir(tag)
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        write_pages_corpus(spec, path, n_buckets=16)
+        open(marker, "w").write("ok")
+    # warm the OS page cache so timed runs measure compute, not cold disk
+    import pyarrow.dataset as pads
+
+    pads.dataset(path, format="parquet").to_table(columns=["url"])
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from newslookout_ray import api
+    from newslookout_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from newslookout_ray.sources.pages import PagesSpec
+
+    timings: dict = {}
+
+    # ---- headline: the crawl -----------------------------------------
+    texts = tuple(
+        r["text"]
+        for r in sorted(
+            api._read(SF_DIR, "documents").select_columns(["doc_id", "text"]).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+    )
+    spec = PagesSpec(
+        n_pages=CRAWL_N_PAGES, n_hosts=CRAWL_HOSTS, seed=1234, text_pool=texts
+    )
+    pages_path = build_corpus_once(SF_DIR, spec)
+    ckpt = f"/tmp/newslookout_ray/bench_ckpt_{NUM_CPUS}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cfg = CrawlConfig(
+        rounds=CRAWL_ROUNDS,
+        per_host_budget=CRAWL_BUDGET,
+        num_seen_shards=8,
+        checkpoint_dir=ckpt,
+        n_page_buckets=16,
+        extract_concurrency=max(2, NUM_CPUS // 4),
+        join_partitions=max(4, NUM_CPUS // 2),
+    )
+    t0 = time.time()
+    summary = run_crawl(pages_path, spec, cfg)
+    crawl_sec = time.time() - t0
+    fetches = sum(r.get("selected", 0) for r in summary["rounds"])
+    timings["crawl"] = round(crawl_sec, 3)
+
+    # ---- operator pipelines ------------------------------------------
+    bench_queries = [
+        "pricing_summary",
+        "priority_revenue",
+        "windowed_counts",
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "ann_topk",
+        "clean_text",
+    ]
+    q = api.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        result = q[name](SF_DIR)
+        # consume (Datasets are lazy)
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            result.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_fetches": fetches,
+        "crawl_pages_per_sec": round(fetches / timings["crawl"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, two parallelism levels."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    p8 = out[8]["crawl_pages_per_sec"]
+    p32 = out[32]["crawl_pages_per_sec"]
+    eff_time = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "sec_8": t8,
+        "sec_32": t32,
+        "crawl_pages_per_sec_8": p8,
+        "crawl_pages_per_sec_32": p32,
+        "scaling_efficiency": round(eff_time, 3),
+        "crawl_scaling_efficiency": round((p32 / p8) / (32 / 8), 3),
+        "queries_8": out[8]["queries"],
+        "queries_32": out[32]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

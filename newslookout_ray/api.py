@@ -1,0 +1,489 @@
+"""The driver contract surface: queries() + oracle_sql() + entry().
+
+Each entry pairs a Ray-Data-first pipeline (newslookout_ray.pipelines.*)
+with an ANSI-SQL oracle DuckDB runs on the same parquet tables. SQL that
+mirrors a kernel's data tables (cleanText replacement chain, keyword-flag
+regexes, stopword inventories) is GENERATED from the same Python
+constants, so the two sides cannot drift.
+
+Determinism rules (why results hash-match):
+  - float reductions are avoided: money in half-up integer cents,
+    similarity scores floor-truncated, counts/ids exact integers;
+  - every computed column is named identically in Ray and SQL;
+  - tie-breaks are explicit (id ascending) wherever ordering feeds a cut.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .functions import textkit
+from .pipelines import dedup, relational, similarity, textstats
+
+ANN_QUERY_IDS = list(range(10))  # first 10 vec_ids are the ANN query set
+ANN_K = 5
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.4
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators (shared-constant mirrors of the kernels)
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _clean_text_sql_expr(col: str) -> str:
+    """The cleanText chain as nested replace()+regexp_replace(), generated
+    from the SAME constant tables the kernel uses (textkit.clean_text)."""
+    expr = col
+    for tok in textkit.CLEAN_REPLACE_WITH_SPACE_1:
+        expr = f"replace({expr}, {_sql_quote(tok)}, ' ')"
+    for old, new in textkit.CLEAN_REPLACE_PAIRS:
+        expr = f"replace({expr}, {_sql_quote(old)}, {_sql_quote(new)})"
+    for tok in textkit.CLEAN_REPLACE_WITH_SPACE_2:
+        expr = f"replace({expr}, {_sql_quote(tok)}, ' ')"
+    expr = (
+        f"regexp_replace({expr}, '(\\b[a-zA-Z]{{2,}})(\\.)([A-Z][a-zA-Z])', "
+        "'\\1\\2 \\3', 'g')"
+    )
+    expr = (
+        "trim(" + expr + ", ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    )
+    return f"CASE WHEN {col} IS NULL OR length({col}) <= 1 THEN {col} ELSE {expr} END"
+
+
+def _lang_id_sql() -> str:
+    hit_cols = []
+    for lang in textstats.LANG_ORDER:
+        words = ", ".join(_sql_quote(w) for w in textstats.LANG_STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_filter(string_split(text, ' '), x -> x IN ({words}))) AS h_{lang}"
+        )
+    order = list(textstats.LANG_ORDER)
+    m = "greatest(" + ", ".join(f"h_{l}" for l in order) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und'"
+    for lang in order:
+        case += f" WHEN h_{lang} = {m} THEN '{lang}'"
+    case += " END"
+    return f"""
+        WITH h AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)
+        SELECT doc_id, lang, {case} AS predicted_lang FROM h
+    """
+
+
+def _keyword_flags_sql() -> str:
+    cols = []
+    for name, pat in textkit.KEYWORD_FLAG_REGEX.items():
+        cols.append(
+            f"sum(CASE WHEN regexp_matches(lower(text), {_sql_quote(pat.strip())}) "
+            f"THEN 1 ELSE 0 END) AS {name.lower()}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM documents"
+
+
+_SHINGLES_CTE = (
+    "s AS (SELECT doc_id, list_distinct(list_transform(range(len(toks)-2), "
+    "i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) "
+    "WHERE len(toks) >= 3)"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+
+def _q_token_count(sf):
+    return textstats.run_token_count(_read(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_quality(sf):
+    return textstats.run_quality(_read(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_lang_id(sf):
+    return textstats.run_lang_id(_read(sf, "documents").select_columns(["doc_id", "text", "lang"]))
+
+
+def _q_fingerprint(sf):
+    return textstats.run_fingerprint(_read(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_clean_text(sf):
+    def stage(batch: pa.Table) -> pa.Table:
+        cleaned = textkit.clean_text_arrow(batch["text"].combine_chunks())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": cleaned,
+                "clean_len": pa.compute.cast(pa.compute.utf8_length(cleaned), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf, "documents")
+        .select_columns(["doc_id", "text"])
+        .map_batches(stage, batch_format="pyarrow")
+    )
+
+
+def _q_keyword_flags(sf):
+    docs = _read(sf, "documents").select_columns(["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = textkit.keyword_flags_batch(batch["text"].to_pylist())
+        return pa.table(
+            {name.lower(): pa.array([int(arr.sum())], pa.int64()) for name, arr in flags.items()}
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = partials.sum(axis=0).to_frame().T
+    return total.astype("int64")
+
+
+def _q_dedup_exact(sf):
+    return dedup.exact_dedup(_read(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_ngram_jaccard(sf):
+    return dedup.ngram_jaccard_pairs(
+        _read(sf, "documents").select_columns(["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _q_minhash_lsh(sf):
+    return dedup.minhash_lsh_pairs(
+        _read(sf, "documents").select_columns(["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _q_simhash(sf):
+    return dedup.simhash_table(_read(sf, "documents").select_columns(["doc_id", "text"]))
+
+
+def _q_embedding_near(sf):
+    return dedup.embedding_near_pairs(_read(sf, "embeddings"), threshold=COSINE_THRESHOLD)
+
+
+def _q_ann_topk(sf):
+    return similarity.brute_force_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_pricing(sf):
+    return relational.pricing_summary(_read(sf, "lineitem"))
+
+
+def _q_status_counts(sf):
+    return relational.status_counts(_read(sf, "events").select_columns(["event_type"]))
+
+
+def _q_user_value(sf):
+    return relational.user_value_sum(_read(sf, "events").select_columns(["user_id", "value"]))
+
+
+def _q_window(sf):
+    return relational.windowed_counts(
+        _read(sf, "events").select_columns(["event_type", "ts", "value"])
+    )
+
+
+def _q_region_rollup(sf):
+    return relational.region_customer_rollup(
+        _read(sf, "customer"), _read(sf, "nation"), _read(sf, "region")
+    )
+
+
+def _q_priority_revenue(sf):
+    return relational.priority_revenue(_read(sf, "orders"), _read(sf, "lineitem"))
+
+
+def _q_per_key_limit(sf):
+    return relational.per_key_limit(_read(sf, "events"), k=5)
+
+
+def _q_first_occurrence(sf):
+    return relational.first_occurrence(_read(sf, "events"))
+
+
+def _q_top_orders(sf):
+    return relational.top_orders(_read(sf, "orders"), k=20)
+
+
+def _q_url_kernels(sf):
+    """U1/U9/U7 over URLs synthesized from documents (the same expression
+    appears in the oracle SQL, so the kernels are cross-checked)."""
+    from .functions import urlkit
+
+    def stage(batch: pa.Table) -> pa.Table:
+        pcm = pa.compute
+        url_raw = pcm.binary_join_element_wise(
+            pa.array(["HTTPS://WWW."] * len(batch)),
+            pcm.utf8_upper(batch["source"].combine_chunks()),
+            pa.array([".COM/News/Story-"] * len(batch)),
+            pcm.cast(batch["doc_id"], pa.string()),
+            "",
+        )
+        url = urlkit.normalize_url_arrow(url_raw)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": url,
+                "host": urlkit.host_arrow(url),
+            }
+        )
+
+    return _read(sf, "documents").select_columns(["doc_id", "source"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
+def _q_crawl_articles(sf):
+    """Flagship: a small deterministic crawl whose pages wrap the sf dir's
+    document texts; returns the extracted articles (rows-only check —
+    byte-identity vs the sequential simulator is proven in pytest)."""
+    from .pipelines.crawl import CrawlConfig, run_crawl
+    from .sources.pages import PagesSpec, write_pages_corpus
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # sort by doc_id: take_all() block order is nondeterministic under the
+    # streaming executor, and the corpus must be a pure function of the input
+    texts = tuple(
+        r["text"]
+        for r in sorted(
+            _read(sf, "documents").select_columns(["doc_id", "text"]).take_all(),
+            key=lambda r: r["doc_id"],
+        )
+    )
+    tag = os.path.basename(os.path.normpath(sf))
+    root = f"/tmp/newslookout_ray/q_crawl_{tag}"
+    spec = PagesSpec(n_pages=300, n_hosts=10, seed=42, text_pool=texts)
+    cfg = CrawlConfig(
+        rounds=2,
+        per_host_budget=10,
+        num_seen_shards=4,
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        n_page_buckets=4,
+        extract_concurrency=2,
+        join_partitions=2,
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    write_pages_corpus(spec, os.path.join(root, "pages"), n_buckets=4)
+    run_crawl(os.path.join(root, "pages"), spec, cfg)
+    files = sorted(glob.glob(os.path.join(root, "ckpt", "articles", "round=*", "*.parquet")))
+    table = pa.concat_tables([pq.read_table(f) for f in files])
+    return table.select(["url", "host", "unique_id", "pubdate", "title", "text", "state"]).sort_by(
+        "url"
+    )
+
+
+QUERIES = {
+    "token_count": _q_token_count,
+    "quality_score": _q_quality,
+    "lang_id": _q_lang_id,
+    "fingerprint": _q_fingerprint,
+    "clean_text": _q_clean_text,
+    "keyword_flags": _q_keyword_flags,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_minhash_lsh": _q_minhash_lsh,
+    "dedup_simhash": _q_simhash,
+    "dedup_embedding": _q_embedding_near,
+    "ann_topk": _q_ann_topk,
+    "pricing_summary": _q_pricing,
+    "status_counts": _q_status_counts,
+    "user_value_sum": _q_user_value,
+    "windowed_counts": _q_window,
+    "region_rollup": _q_region_rollup,
+    "priority_revenue": _q_priority_revenue,
+    "per_key_limit": _q_per_key_limit,
+    "first_occurrence": _q_first_occurrence,
+    "top_orders": _q_top_orders,
+    "url_kernels": _q_url_kernels,
+    "crawl_articles": _q_crawl_articles,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
+
+
+def _oracle_sql() -> dict:
+    sql = {}
+    sql["token_count"] = f"""
+        SELECT doc_id,
+          CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+               THEN 0
+               ELSE len(string_split_regex(
+                      trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                      '\\s+')) END::BIGINT AS n_ws_tokens,
+          len(regexp_extract_all(text, {_sql_quote(textstats.BPE_TOKEN_PATTERN)}))::BIGINT
+            AS n_bpe_tokens
+        FROM documents
+    """
+    sql["quality_score"] = """
+        WITH f AS (
+          SELECT doc_id,
+            length(text)::BIGINT AS n_chars,
+            CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = ''
+                 THEN 0
+                 ELSE len(string_split_regex(
+                        trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)),
+                        '\\s+')) END::BIGINT AS n_tokens,
+            len(regexp_extract_all(text, '[0-9]'))::BIGINT AS digit_chars,
+            len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS symbol_chars
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens, digit_chars, symbol_chars,
+          greatest(0, least(100,
+            60 + least(n_tokens, 200) // 5
+               - digit_chars * 100 // greatest(n_chars, 1)
+               - symbol_chars * 100 // greatest(n_chars, 1)))::BIGINT AS quality
+        FROM f
+    """
+    sql["lang_id"] = _lang_id_sql()
+    sql["clean_text"] = f"""
+        SELECT doc_id,
+          {_clean_text_sql_expr('text')} AS clean_text,
+          length({_clean_text_sql_expr('text')})::BIGINT AS clean_len
+        FROM documents
+    """
+    sql["keyword_flags"] = _keyword_flags_sql()
+    sql["dedup_exact"] = """
+        SELECT min(doc_id) AS keeper_id, count(*)::BIGINT AS n_dups
+        FROM documents GROUP BY text
+    """
+    sql["dedup_ngram_jaccard"] = f"""
+        WITH {_SHINGLES_CTE}
+        SELECT a.doc_id AS a, b.doc_id AS b,
+          floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) * 1000000) / 1000000 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+    """
+    sql["dedup_minhash_lsh"] = sql["dedup_ngram_jaccard"]  # LSH must find the same pairs here
+    sql["dedup_embedding"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS a, b.vec_id AS b,
+          floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000 AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+    """
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    sql["ann_topk"] = f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id IN ({ids})),
+        scored AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            floor(list_cosine_similarity(q.v, e.v) * 1000000) / 1000000 AS cosine,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id ASC) AS rank
+          FROM q JOIN e ON q.vec_id != e.vec_id)
+        SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank
+        FROM scored WHERE rank <= {ANN_K}
+    """
+    sql["pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
+          sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+            AS sum_disc_cents,
+          count(*)::BIGINT AS n_rows
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["status_counts"] = (
+        "SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type"
+    )
+    sql["user_value_sum"] = """
+        SELECT user_id,
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents,
+          count(*)::BIGINT AS n
+        FROM events GROUP BY user_id
+    """
+    sql["windowed_counts"] = """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+          count(*)::BIGINT AS n,
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """
+    sql["region_rollup"] = """
+        SELECT r.r_name,
+          count(*)::BIGINT AS customers,
+          sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """
+    sql["priority_revenue"] = """
+        WITH li AS (
+          SELECT l_orderkey,
+            sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+              AS rev_c
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o.o_orderpriority,
+          sum(li.rev_c) AS revenue_cents, count(*)::BIGINT AS orders
+        FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        GROUP BY o.o_orderpriority
+    """
+    sql["per_key_limit"] = """
+        WITH ranked AS (
+          SELECT user_id, event_id,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+          FROM events)
+        SELECT user_id, event_id, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+    """
+    sql["first_occurrence"] = """
+        SELECT user_id, event_type, min(event_id) AS first_event
+        FROM events GROUP BY user_id, event_type
+    """
+    sql["top_orders"] = """
+        SELECT o_orderkey,
+          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+          o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """
+    sql["url_kernels"] = """
+        SELECT doc_id,
+          lower('HTTPS://WWW.' || upper(source) || '.COM/News/Story-' || doc_id) AS url,
+          regexp_replace(
+            lower('HTTPS://WWW.' || upper(source) || '.COM/News/Story-' || doc_id),
+            '^[a-z][a-z0-9+.\\-]*://([^/?#]*).*$', '\\1') AS host
+        FROM documents
+    """
+    # fingerprint / simhash / crawl_articles: not SQL-expressible
+    # (iterative hashing / distributed crawl state) → rows-only checks.
+    return sql
+
+
+def queries() -> dict:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict:
+    return _oracle_sql()
+
+
+def entry():
+    """Flagship smoke: crawl over pages wrapping sf0.001 documents."""
+    return _q_crawl_articles("/root/testdata/sf0.001")

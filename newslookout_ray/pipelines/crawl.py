@@ -98,29 +98,73 @@ class CrawlConfig:
 # ---------------------------------------------------------------------------
 
 
+#: order-key packing bounds (bits): the lexicographic ORDER_KEY restricted
+#: to one url is equivalent to the numeric order of this packed int64,
+#: because each field stays within its bit budget: birth_round < 2^13,
+#: pseq < 2^16 (politeness budget cap), lidx < 2^16 (link cap 500),
+#: depth < 2^10 (the url tie-break only matters ACROSS urls).
+_PACK_ROUND = 1 << 42
+_PACK_PSEQ = 1 << 26
+_PACK_LIDX = 1 << 10
+
+
+def _pack_order(df: pd.DataFrame) -> np.ndarray:
+    return (
+        df["birth_round"].to_numpy(np.int64) * _PACK_ROUND
+        + np.minimum(df["pseq"].to_numpy(np.int64), (1 << 16) - 1) * _PACK_PSEQ
+        + np.minimum(df["lidx"].to_numpy(np.int64), (1 << 16) - 1) * _PACK_LIDX
+        + np.minimum(df["depth"].to_numpy(np.int64), (1 << 10) - 1)
+    )
+
+
+def _unpack_order(packed: np.ndarray) -> dict:
+    return {
+        "birth_round": (packed // _PACK_ROUND).astype(np.int32),
+        "pseq": ((packed % _PACK_ROUND) // _PACK_PSEQ).astype(np.int64),
+        "lidx": ((packed % _PACK_PSEQ) // _PACK_LIDX).astype(np.int64),
+        "depth": (packed % _PACK_LIDX).astype(np.int32),
+    }
+
+
 def dedup_first_occurrence(frontier_ds):
     """U8 semantics at dataset scale: first occurrence (min ORDER_KEY) wins.
 
-    Combiner pattern: within-batch min per url first (map_batches), then
-    the groupby('url') shuffle sees at most one row per url per input
-    block.
+    The order key is packed into one int64 so the whole dedup is a
+    combiner (per-batch min per url) + ONE native vectorized
+    ``groupby('url').aggregate(Min, Max)`` — no per-group Python. host
+    and the order fields are reconstructed from the url / packed key.
     """
+    from ray.data.aggregate import Max, Min
 
     def batch_min(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(ORDER_KEY, kind="mergesort").drop_duplicates("url", keep="first")
+        df = df.assign(pack=_pack_order(df))
+        return df.groupby("url", as_index=False).agg(
+            pack=("pack", "min"), attempts=("attempts", "max")
+        )
 
-    def group_min(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(ORDER_KEY, kind="mergesort").head(1)
-        # keep the max attempts seen for the url so deferral counting
-        # survives re-discovery (matches pending_urls attempt tracking)
-        out = out.assign(attempts=np.int32(df["attempts"].max()))
-        return out
-
-    return (
+    agg = (
         frontier_ds.map_batches(batch_min, batch_format="pandas")
         .groupby("url")
-        .map_groups(group_min, batch_format="pandas")
+        .aggregate(Min("pack", alias_name="pack"), Max("attempts", alias_name="attempts"))
     )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.urlkit import get_host
+
+        fields = _unpack_order(df["pack"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "host": df["url"].map(get_host),
+                "birth_round": fields["birth_round"],
+                "pseq": fields["pseq"],
+                "lidx": fields["lidx"],
+                "depth": fields["depth"],
+                "attempts": df["attempts"].astype(np.int32),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pandas")
 
 
 class SeenFilter:
@@ -138,25 +182,35 @@ class SeenFilter:
 
 
 def politeness_select(frontier_ds, budget: int):
-    """Per-host FIFO selection under the politeness budget.
+    """Fused first-occurrence dedup (U8) + per-host FIFO politeness
+    selection in ONE host-keyed shuffle.
 
-    Phase 1 (combiner, no shuffle): each batch keeps at most ``budget``
-    smallest-key rows per host. Phase 2 (the one host shuffle): exact
-    top-``budget`` per host, assigned order_in_host 0..B-1 — the per-host
-    serial fetch order (deterministic politeness schedule; the
-    reference's randomized sleeps do not affect ordering, which is queue
-    FIFO — SURVEY.md §7.5).
+    Correctness of the fusion: every row of a url shares the url's host,
+    so per-url dedup can happen inside the host group. The dedup winner
+    (min packed order key) provably carries the max attempts — attempts
+    only accrue on deferral, and a deferred row keeps its original
+    (earliest) order key, so the min-key incarnation of a url IS its
+    most-deferred one. Combiner phase 1 (no shuffle): per-batch per-url
+    dedup + per-host head(budget) — sound because any globally-selected
+    row is also among the best ``budget`` of its batch. Phase 2 (the one
+    shuffle): exact per-url dedup + top-``budget`` per host, assigned
+    order_in_host 0..B-1 — the per-host serial fetch order
+    (deterministic politeness; the reference's randomized sleeps do not
+    affect ordering, which is queue FIFO — SURVEY.md §7.5).
     """
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(ORDER_KEY, kind="mergesort")
-            .groupby("host", sort=False)
-            .head(budget)
+    def _dedup_sort(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(pack=_pack_order(df))
+        df = df.sort_values(["pack", "url"], kind="mergesort").drop_duplicates(
+            "url", keep="first"
         )
+        return df.sort_values(ORDER_KEY, kind="mergesort").drop(columns=["pack"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _dedup_sort(df).groupby("host", sort=False).head(budget)
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(ORDER_KEY, kind="mergesort").head(budget).reset_index(drop=True)
+        g = _dedup_sort(df).head(budget).reset_index(drop=True)
         g["order_in_host"] = np.arange(len(g), dtype=np.int64)
         return g
 
@@ -172,42 +226,106 @@ def politeness_select(frontier_ds, budget: int):
 # ---------------------------------------------------------------------------
 
 
-def fetch_join(selected_ds, pages_path: str, cfg: CrawlConfig, buckets):
-    """Hash-join the selected frontier with the pages corpus on url.
+def fetch_join(pages_path: str, cfg: CrawlConfig, sel_rows: dict):
+    """Join the selected frontier with the pages corpus on url — the
+    fetch itself.
 
-    Reads ONLY the url-hash buckets present in the frontier (partition
-    pushdown on the bucket column — ``buckets`` is computed driver-side
-    from the small selected set), then Dataset.join. Missing pages (no
-    such url on "the web") surface as null html → 404.
+    The politeness budget bounds the selected set to hosts × budget rows,
+    so the scale-right join is a BROADCAST semi-join: the selected rows
+    ship once via the object store, the bucket-pruned pages stream
+    through one map stage (no hash-shuffle, no aggregator actors), and
+    each batch emits its matches. URLs with no page on "the web" are
+    appended afterwards as status-404 rows. (A frontier too large to
+    broadcast would switch to Dataset.join — per-round frontiers are
+    budget-bounded by construction, like the reference's per-cycle fetch
+    budget, queue_manager.py:141-146.)
+
+    ``sel_rows``: url → frontier-row dict (driver-held, small).
     """
+    import ray
     import ray.data
 
+    buckets = {url_hash64(u) % cfg.n_page_buckets for u in sel_rows}
     pages = ray.data.read_parquet(
         pages_path,
         columns=["url", "html"],
         filter=pc.field("b").isin(sorted(int(b) for b in buckets)),
     )
-    joined = selected_ds.join(
-        pages,
-        join_type="left_outer",
-        num_partitions=max(2, cfg.join_partitions),
-        on=("url",),
-    )
-
+    sel_ref = ray.put(sel_rows)
     profile, seed = cfg.profile, cfg.status_seed
+    carry = ["host", "birth_round", "pseq", "lidx", "depth", "attempts", "order_in_host"]
 
-    def status_stage(batch: pa.Table) -> pa.Table:
+    def match_stage(batch: pa.Table) -> pa.Table:
+        sel = ray.get(sel_ref)
         urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
-        statuses = np.empty(len(urls), dtype=np.int16)
-        for i, u in enumerate(urls):
-            if htmls[i] is None:
-                statuses[i] = 404
-            else:
-                statuses[i] = simulate_status(u, seed, is_hub=profile.is_hub(u))
-        return batch.append_column("status", pa.array(statuses, pa.int16()))
+        idx = [i for i, u in enumerate(urls) if u in sel]
+        out = {"url": [], "html": [], "status": []}
+        for c in carry:
+            out[c] = []
+        for i in idx:
+            u = urls[i]
+            row = sel[u]
+            out["url"].append(u)
+            out["html"].append(batch["html"][i].as_py())
+            out["status"].append(simulate_status(u, seed, is_hub=profile.is_hub(u)))
+            for c in carry:
+                out[c].append(row[c])
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "host": pa.array(out["host"], pa.string()),
+                "birth_round": pa.array(out["birth_round"], pa.int32()),
+                "pseq": pa.array(out["pseq"], pa.int64()),
+                "lidx": pa.array(out["lidx"], pa.int64()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "attempts": pa.array(out["attempts"], pa.int32()),
+                "order_in_host": pa.array(out["order_in_host"], pa.int64()),
+                "html": pa.array(out["html"], pa.binary()),
+                "status": pa.array(out["status"], pa.int16()),
+            }
+        )
 
-    return joined.map_batches(status_stage, batch_format="pyarrow")
+    matched = pages.map_batches(match_stage, batch_format="pyarrow").materialize()
+    matched_urls = set(
+        r["url"] for r in matched.select_columns(["url"]).take_all()
+    )
+    missing = [u for u in sel_rows if u not in matched_urls]
+    if missing:
+        rows = []
+        for u in missing:
+            row = sel_rows[u]
+            rows.append(
+                {
+                    "url": u,
+                    "host": row["host"],
+                    "birth_round": row["birth_round"],
+                    "pseq": row["pseq"],
+                    "lidx": row["lidx"],
+                    "depth": row["depth"],
+                    "attempts": row["attempts"],
+                    "order_in_host": row["order_in_host"],
+                    "html": None,
+                    "status": 404,
+                }
+            )
+        missing_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([r["url"] for r in rows], pa.string()),
+                    "host": pa.array([r["host"] for r in rows], pa.string()),
+                    "birth_round": pa.array([r["birth_round"] for r in rows], pa.int32()),
+                    "pseq": pa.array([r["pseq"] for r in rows], pa.int64()),
+                    "lidx": pa.array([r["lidx"] for r in rows], pa.int64()),
+                    "depth": pa.array([r["depth"] for r in rows], pa.int32()),
+                    "attempts": pa.array([r["attempts"] for r in rows], pa.int32()),
+                    "order_in_host": pa.array([r["order_in_host"] for r in rows], pa.int64()),
+                    "html": pa.array([None] * len(rows), pa.binary()),
+                    "status": pa.array([404] * len(rows), pa.int16()),
+                }
+            )
+        )
+        matched = matched.union(missing_ds)
+    return matched
 
 
 # ---------------------------------------------------------------------------
@@ -301,10 +419,12 @@ class CrawlRun:
         t0 = time.time()
         frontier = self._read_frontier(r)
 
-        candidates = dedup_first_occurrence(frontier)
-        # materialize BEFORE this round's fetches mutate the seen set, so
-        # the deferred branch below re-reads a frozen snapshot
-        unseen = candidates.map_batches(
+        # dedup is fused into politeness_select (one host shuffle); the
+        # seen filter runs on the raw frontier (duplicate urls are just
+        # extra membership probes). Materialize BEFORE this round's
+        # fetches mutate the seen set, so the deferred branch below
+        # re-reads a frozen snapshot.
+        unseen = frontier.map_batches(
             SeenFilter,
             batch_format="pyarrow",
             concurrency=2,
@@ -315,7 +435,8 @@ class CrawlRun:
 
         # deferred = unseen candidates not selected this round (anti-join
         # via broadcast of the small selected url set: hosts × budget)
-        sel_urls = set(row["url"] for row in selected.select_columns(["url"]).take_all())
+        sel_rows = {row["url"]: row for row in selected.take_all()}
+        sel_urls = set(sel_rows)
         sel_ref = ray.put(sel_urls)
         max_attempts = cfg.max_pending_attempts
 
@@ -332,8 +453,7 @@ class CrawlRun:
         deferred = unseen.map_batches(defer_stage, batch_format="pyarrow")
 
         # fetch + extract (read only the url-hash buckets this round touches)
-        buckets = {url_hash64(u) % cfg.n_page_buckets for u in sel_urls}
-        fetched = fetch_join(selected, self.pages_path, cfg, buckets)
+        fetched = fetch_join(self.pages_path, cfg, sel_rows)
         extracted = fetched.map_batches(
             PageExtractor,
             batch_format="pyarrow",

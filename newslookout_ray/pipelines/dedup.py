@@ -1,0 +1,438 @@
+"""Deduplication operators over a documents table.
+
+Five families (driver brief; M2/U8 reference analogues, SURVEY.md §2.8):
+
+  exact        — first-occurrence-wins on content hash (U8 semantics at
+                 dataset scale: combiner min-in-batch → groupby min)
+  minhash-LSH  — word-shingle MinHash signatures → banded LSH buckets →
+                 candidate pairs → exact Jaccard verification
+  simhash      — 64-bit token simhash per doc + banded near-pair search
+  ngram-exact  — exact all-pairs n-gram Jaccard (the oracle-checkable
+                 ground truth the LSH path approximates)
+  embedding    — cosine near-duplicate pairs over an embedding column
+
+Scale notes: the exact path shuffles one (hash, min_id, count) row per
+batch per key; MinHash/simhash signatures are fixed-width columns and the
+only shuffle is the (band, key) groupby; the exact all-pairs path is
+bucketed block-cross-join — quadratic by nature, used as small-scale
+oracle and within LSH buckets at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NGRAM = 3
+MINHASH_PERMS = 128
+LSH_BANDS = 32  # rows per band = 128/32 = 4
+
+_MERSENNE = (1 << 61) - 1
+
+
+def char_shingles(text: str, n: int = NGRAM) -> set:
+    """Distinct character n-grams."""
+    if text is None or len(text) < n:
+        return set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def word_shingles(text: str, n: int = NGRAM) -> set:
+    """Distinct word n-grams over single-space-split tokens — the default
+    shingling for text near-dup (char shingles give word-salad corpora a
+    ~0.5 baseline jaccard, exploding LSH candidate sets; word shingles
+    have near-zero baseline with the same true near-dup pairs). Matches
+    the oracle SQL: string_split(text,' ') → toks[i]||' '||...||toks[i+n-1].
+    """
+    if text is None:
+        return set()
+    toks = text.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def floor_round(x: float, digits: int = 6) -> float:
+    """floor-based truncation — Python round() is half-to-even while SQL
+    round() is half-away; floor(x*10^d)/10^d is identical in both."""
+    import math
+
+    scale = 10 ** digits
+    return math.floor(x * scale) / scale
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (U8 at scale)
+# ---------------------------------------------------------------------------
+
+
+def _sha1_64(text: str) -> int:
+    return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big")
+
+
+def exact_dedup(docs):
+    """→ (keeper_id, n_dups) per distinct text: keeper = min doc_id.
+
+    Combiner: per-batch partials (hash, min_id, count) so the groupby
+    shuffle moves one row per key per batch, never the text itself.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].map(_sha1_64).astype(np.uint64)
+        g = (
+            df.assign(h=h)
+            .groupby("h", as_index=False)
+            .agg(keeper_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        )
+        return g
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("h")
+        .aggregate(Min("keeper_id", alias_name="keeper_id"), Sum("n_dups", alias_name="n_dups"))
+    )
+    return agg.map_batches(
+        lambda t: t.select(["keeper_id", "n_dups"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHashStage:
+    """doc → 128-perm MinHash signature (universal-hash permutations with
+    fixed seeds, so signatures are deterministic across runs/processes)."""
+
+    def __init__(self, perms: int = MINHASH_PERMS, ngram: int = NGRAM):
+        rng = np.random.RandomState(0xC0FFEE)
+        self.a = rng.randint(1, _MERSENNE, size=perms, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=perms, dtype=np.int64).astype(np.uint64)
+        self.perms = perms
+        self.ngram = ngram
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.ngram)
+        if not sh:
+            return np.full(self.perms, _MERSENNE, dtype=np.uint64)
+        base = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
+        )
+        # (a*x + b) mod p for each perm × shingle, min over shingles
+        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return prod.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64(), MINHASH_PERMS)),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
+    """Explode signatures to (band, band_key, doc_id) rows for the LSH
+    groupby — band_key is a stable hash of the band's signature slice."""
+    doc_ids, band_ids, band_keys = [], [], []
+    rows = MINHASH_PERMS // bands
+    for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+        arr = np.asarray(sig, dtype=np.uint64)
+        for b in range(bands):
+            chunk = arr[b * rows : (b + 1) * rows]
+            key = zlib.crc32(chunk.tobytes()) | (b << 32)
+            doc_ids.append(did)
+            band_ids.append(b)
+            band_keys.append(key)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band": pa.array(band_ids, pa.int32()),
+            "band_key": pa.array(band_keys, pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
+    """Near-duplicate pairs (a<b, jaccard>=threshold) via MinHash+LSH.
+
+    shingle→minhash (actor stage) → band explode → groupby(band_key) →
+    candidate pairs within buckets → dedup pairs → exact Jaccard verify
+    against the text (broadcast lookup of the two docs' texts).
+    """
+    import ray
+
+    sigs = docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=concurrency)
+    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    # most band keys are singletons: find the colliding keys with one
+    # vectorized Count aggregate, broadcast them, and only build pairs
+    # inside those (few) buckets
+    bands = bands.materialize()
+    key_counts = bands.groupby("band_key").aggregate(Count(alias_name="n"))
+    hot_keys = set(
+        r["band_key"]
+        for r in key_counts.map_batches(
+            lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+        ).take_all()
+    )
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        mask = pa.array([k in hot for k in batch["band_key"].to_pylist()])
+        return batch.filter(mask)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket pairs, locally deduped; cross-bucket duplicates are
+        # tolerated — the cached verifier re-checks them cheaply and the
+        # small verified result is deduped at the end (a multi-key
+        # groupby on the full candidate set costs far more than the
+        # duplicate verifications it would save)
+        ids = sorted(df["doc_id"].unique())
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = (
+        bands.map_batches(only_hot, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    # verify: broadcast doc texts (at 100 TB this becomes a bucketed
+    # re-join on doc_id; here the doc set fits the object store). The
+    # verifier is an ACTOR stage so each worker computes a doc's shingle
+    # set at most once — candidate sets from low-similarity corpora can
+    # be quadratic-ish, and per-pair shingle recompute was the hot loop.
+    texts_ref = ray.put(
+        {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
+    )
+    thr = threshold
+
+    class VerifyJaccard:
+        def __init__(self):
+            self.texts = ray.get(texts_ref)
+            self.cache: dict = {}
+
+        def _sh(self, doc_id):
+            s = self.cache.get(doc_id)
+            if s is None:
+                s = word_shingles(self.texts[doc_id])
+                self.cache[doc_id] = s
+            return s
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep_a, keep_b, jac = [], [], []
+            for a, b in zip(df["a"], df["b"]):
+                j = jaccard(self._sh(a), self._sh(b))
+                if j >= thr:
+                    keep_a.append(a)
+                    keep_b.append(b)
+                    jac.append(floor_round(j, 6))
+            return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+
+    verified = cand.map_batches(
+        VerifyJaccard, batch_format="pandas", batch_size=8192, concurrency=concurrency
+    ).to_pandas()
+    return (
+        verified.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHashStage:
+    """64-bit token simhash per doc (deterministic md5 token hashes)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.zeros(len(batch), dtype=np.uint64)
+        texts = batch["text"].to_pylist()
+        for i, t in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in (t or "").split():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            out[i] = int(
+                sum(1 << k for k in range(64) if acc[k] > 0)
+            )
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.uint64())})
+
+
+def simhash_table(docs, concurrency: int = 2):
+    return docs.map_batches(SimHashStage, batch_format="pyarrow", concurrency=concurrency)
+
+
+def simhash_near_pairs(docs, max_hamming: int = 12, concurrency: int = 2):
+    """Near pairs by simhash hamming distance via 4×16-bit band blocking
+    (any pair within hamming<=12 shares >=1 exact 16-bit band whp for
+    clustered bits; exact hamming verified per candidate)."""
+    sig = simhash_table(docs, concurrency=concurrency)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, bands, keys = [], [], []
+        for did, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            for b in range(4):
+                ids.append(did)
+                bands.append(b)
+                keys.append(((h >> (16 * b)) & 0xFFFF) | (b << 16))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+                "simhash": pa.array(
+                    [h for h in batch["simhash"].to_pylist() for _ in range(4)], pa.uint64()
+                ),
+            }
+        )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        hs = rows["simhash"].to_numpy(dtype=np.uint64)
+        out_a, out_b, dist = [], [], []
+        for i in range(len(ids)):
+            x = np.bitwise_xor(hs[i], hs[i + 1 :])
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j, d in enumerate(ham):
+                if d <= max_hamming:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    dist.append(int(d))
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": dist})
+
+    pairs = (
+        sig.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby("a").map_groups(
+        lambda g: g.drop_duplicates(["a", "b"]), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle-checkable ground truth)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs, threshold: float = 0.8, num_blocks: int = 4):
+    """Exact all-pairs word-3-gram Jaccard >= threshold (a<b).
+
+    Block cross-join: docs assigned to B blocks by doc_id; every block
+    PAIR (bi<=bj) is one task comparing its two blocks — O(B²/2) tasks,
+    each quadratic only in block size. The distributed shape of the
+    quadratic oracle; the LSH path above is the sub-quadratic scale path.
+    """
+    import itertools
+
+    import ray
+
+    rows = docs.select_columns(["doc_id", "text"]).take_all()
+    blocks = [[] for _ in range(num_blocks)]
+    for r in rows:
+        blocks[r["doc_id"] % num_blocks].append((r["doc_id"], r["text"]))
+    block_refs = [ray.put(b) for b in blocks]
+    thr = threshold
+
+    @ray.remote
+    def compare(left, right, same):
+        out = []
+        lsh = [(i, word_shingles(t)) for i, t in left]
+        rsh = lsh if same else [(i, word_shingles(t)) for i, t in right]
+        for xi, (ai, aset) in enumerate(lsh):
+            start = xi + 1 if same else 0
+            for bi, bset in (rsh[start:] if same else rsh):
+                a_, b_ = (ai, bi) if ai < bi else (bi, ai)
+                j = jaccard(aset, bset)
+                if j >= thr:
+                    out.append((a_, b_, floor_round(j, 6)))
+        return out
+
+    tasks = []
+    for bi, bj in itertools.combinations_with_replacement(range(num_blocks), 2):
+        tasks.append(compare.remote(block_refs[bi], block_refs[bj], bi == bj))
+    pairs = sorted(set(p for t in ray.get(tasks) for p in t))
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64()),
+            "jaccard": pa.array([p[2] for p in pairs], pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_pairs(embeddings, threshold: float = 0.4):
+    """Cosine >= threshold pairs (a<b) over an embedding column.
+
+    Broadcast the (normalized) matrix once via ray.put; each batch does
+    one float64 matmul against it — brute-force baseline (the IVF/LSH
+    bucketed variant lives in similarity.py).
+    """
+    import ray
+
+    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    ref = ray.put((ids, matn))
+    thr = threshold
+
+    def stage(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        sims = (bmat / bn[:, None]) @ all_mat.T
+        out_a, out_b, cos = [], [], []
+        for i in range(len(bids)):
+            hit = np.nonzero(sims[i] >= thr)[0]
+            for j in hit:
+                if bids[i] < all_ids[j]:
+                    out_a.append(int(bids[i]))
+                    out_b.append(int(all_ids[j]))
+                    cos.append(floor_round(float(sims[i, j]), 4))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(stage, batch_format="pyarrow", batch_size=512)

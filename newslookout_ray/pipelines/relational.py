@@ -1,0 +1,315 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables —
+the engine-competence surface (aggregations A1-A4, joins J2/J3, ordered
+limits O2, first-occurrence U8, windowed aggregation).
+
+Design rules applied throughout (scale notes):
+  - money sums are computed in integer CENTS (``round(x*100)`` per row,
+    int64 sums) so results are order-independent and bit-exact vs the
+    DuckDB oracle — no floating-point reduction-order drift;
+  - every groupby is fed by a combiner: per-batch partial aggregates in
+    ``map_batches`` so the shuffle moves one row per key per batch;
+  - small dimension tables are broadcast (``ray.put``) and joined with a
+    per-batch pandas merge — no shuffle (J2);
+  - the one genuinely wide join (orders ⋈ lineitem) uses the engine's
+    hash-partitioned Dataset.join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col) -> pa.Array:
+    """Half-up integer cents: floor(x*100 + 0.5). Arrow's round() is
+    half-to-even while DuckDB's is half-away — floor(+0.5) is the one
+    form both engines compute identically on the same doubles."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(col, 100.0), 0.5)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# A-series aggregates
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(lineitem, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-shaped pricing summary in integer cents.
+
+    → l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+      sum_disc_cents, n_rows
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(np.datetime64(cutoff, "us"))))
+        base_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                "l_linestatus": batch["l_linestatus"].to_pylist(),
+                "qty": batch["l_quantity"].to_numpy(),
+                "base_c": base_c.to_numpy(),
+                "disc_c": disc_c.to_numpy(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_cents=("base_c", "sum"),
+            sum_disc_cents=("disc_c", "sum"),
+            n_rows=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+    def cast_types(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("sum_qty"),
+            "sum_qty",
+            pc.cast(pc.round(t["sum_qty"]), pa.int64()),
+        )
+
+    return agg.map_batches(cast_types, batch_format="pyarrow")
+
+
+def status_counts(events):
+    """A2 analogue: count per event_type (combiner + groupby-sum)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist()})
+        g = df.groupby("event_type", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def user_value_sum(events):
+    """A1 analogue: per-user sum(value) in cents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "value_c": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(value_cents=("value_c", "sum"), n=("value_c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("value_cents", alias_name="value_cents"), Sum("n", alias_name="n"))
+    )
+
+
+def windowed_counts(events):
+    """Streaming-shaped tumbling window: per (event_type, hour) count +
+    cents sum. Event time is a column; the window key is derived
+    per-batch (no watermark machinery — the table is a closed log)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "window_start": hour.to_pandas(),
+                "value_c": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("value_c", "size"), value_cents=("value_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+def region_customer_rollup(customer, nation, region):
+    """J2 broadcast join: customer ⋈ nation ⋈ region (both dims tiny)
+    → per region name: customer count + acctbal cents sum."""
+    import ray
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dim_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(dim_ref)
+        df = pd.DataFrame(
+            {
+                "nk": batch["c_nationkey"].to_numpy(),
+                "bal_c": _cents(batch["c_acctbal"]).to_numpy(),
+            }
+        )
+        df["r_name"] = df["nk"].map(lookup)
+        g = df.groupby("r_name", as_index=False).agg(
+            customers=("bal_c", "size"), acctbal_cents=("bal_c", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        customer.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("customers", alias_name="customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )
+
+
+def priority_revenue(orders, lineitem, num_partitions: int = 8):
+    """J3 hash join: orders ⋈ lineitem on orderkey, revenue cents per
+    o_orderpriority. Lineitem side is pre-aggregated per orderkey
+    (combiner) BEFORE the join so the shuffle moves one row per order."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev_c = _cents(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        )
+        df = pd.DataFrame(
+            {"l_orderkey": batch["l_orderkey"].to_numpy(), "rev_c": rev_c.to_numpy()}
+        )
+        g = df.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    li_agg = (
+        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    joined = orders.select_columns(["o_orderkey", "o_orderpriority"]).join(
+        li_agg,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pylist(),
+                "rev_c": batch["rev_c"].to_numpy(),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue_cents=("rev_c", "sum"), orders=("rev_c", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("orders", alias_name="orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered limits / first-occurrence / top-k
+# ---------------------------------------------------------------------------
+
+
+def per_key_limit(events, k: int = 5):
+    """O2 analogue: first k events per user by (ts, event_id).
+
+    Combiner: per-batch per-user head-k, then exact head-k per group —
+    same two-phase shape as the crawl's politeness budget.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["ts", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(k)
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["ts", "event_id"], kind="mergesort").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["user_id", "event_id", "rank"]]
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def first_occurrence(events):
+    """U8 semantics on a log: min event_id per (user_id, event_type)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["user_id", "event_type"], as_index=False).agg(
+            first_event=("event_id", "min")
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        events.select_columns(["user_id", "event_type", "event_id"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("first_event", alias_name="first_event"))
+    )
+
+
+def top_orders(orders, k: int = 20):
+    """Global top-k by (o_totalprice desc, o_orderkey asc): per-batch
+    partial top-k (combiner) then a driver-side merge of ≤ k×blocks rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partials = (
+        orders.select_columns(["o_orderkey", "o_totalprice", "o_orderpriority"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = partials.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out = out.reset_index(drop=True)
+    out["price_cents"] = np.floor(out["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
+    return out[["o_orderkey", "price_cents", "o_orderpriority"]]

@@ -1,0 +1,163 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``) and every batch of the corpus does one float64 matmul
+against it, emitting per-(query, corpus-row) partial top-k rows that a
+final small groupby reduces. Scale path: an LSH-bucketed variant
+(random-hyperplane signatures) that only compares within matching
+buckets — sub-linear candidate sets at the cost of recall, measured
+against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import floor_round
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _rows_to_matrix(rows, id_col="vec_id", vec_col="embedding"):
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def brute_force_topk(embeddings, query_ids, k: int = 5):
+    """Top-k cosine neighbors (excluding self) for each query id.
+
+    → (query_id, neighbor_id, rank, cosine) with rank 1..k; deterministic
+    tie-break on neighbor_id ascending.
+    """
+    import ray
+
+    q_rows = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    qids, qmat = _rows_to_matrix(q_rows)
+    qref = ray.put((qids, _normalized(qmat)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(qref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        sims = qm @ bmat.T  # (n_queries, batch)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(ids)):
+            # partial top-k within this batch (combiner): keep k best
+            cand = [
+                (float(sims[qi, j]), int(bids[j]))
+                for j in range(len(bids))
+                if bids[j] != ids[qi]
+            ]
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            for c, n in cand[: k]:
+                out_q.append(int(ids[qi]))
+                out_n.append(n)
+                out_c.append(floor_round(c, 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow", batch_size=1024)
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures (fixed seed) for cosine LSH bucketing."""
+
+    def __init__(self, dim: int = 64, bits: int = 12, seed: int = 0xA11CE):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(bits, dim))
+        self.bits = bits
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        proj = mat @ self.planes.T > 0
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        return (proj.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
+    """LSH-bucketed ANN: ``tables`` independent hyperplane hash tables;
+    a query is compared only against corpus rows sharing its bucket (or a
+    Hamming-1 neighbor bucket) in ANY table — the classic L-tables
+    recall/candidate-count trade-off.
+
+    Returns the same schema as brute_force_topk; recall < 1 by design —
+    tests measure recall against the brute-force baseline.
+    """
+    import ray
+
+    q_rows = embeddings.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).take_all()
+    qids, qmat = _rows_to_matrix(q_rows)
+    qn = _normalized(qmat)
+    dim = qmat.shape[1]
+    lshs = [HyperplaneLSH(dim=dim, bits=bits, seed=0xA11CE + t) for t in range(tables)]
+    # probe map: (table, bucket) → query indices; query probes its bucket
+    # plus all hamming-1 buckets in every table
+    probe = {}
+    for t, lsh in enumerate(lshs):
+        qbuckets = lsh.bucket(qn)
+        for i, b in enumerate(qbuckets):
+            for tb in [int(b)] + [int(b) ^ (1 << j) for j in range(bits)]:
+                probe.setdefault((t, tb), []).append(i)
+    qref = ray.put((qids, qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, qm, probe_map = ray.get(qref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bmat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        batch_buckets = [
+            HyperplaneLSH(dim=bmat.shape[1], bits=bits, seed=0xA11CE + t).bucket(bmat)
+            for t in range(tables)
+        ]  # one matmul per table for the whole batch
+        out_q, out_n, out_c = [], [], []
+        for j in range(len(bids)):
+            cands = set()
+            for t in range(tables):
+                cands.update(probe_map.get((t, int(batch_buckets[t][j])), ()))
+            for qi in cands:  # co-bucketed in any table
+                if bids[j] == ids[qi]:
+                    continue
+                c = float(qm[qi] @ bmat[j])
+                out_q.append(int(ids[qi]))
+                out_n.append(int(bids[j]))
+                out_c.append(floor_round(c, 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "neighbor_id"])
+        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = embeddings.map_batches(score, batch_format="pyarrow", batch_size=1024)
+    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

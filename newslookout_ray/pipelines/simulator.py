@@ -63,10 +63,12 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
     frontier = [dict(r, birth_round=0) for r in seed_frontier(spec)]
 
     for r in range(cfg.rounds):
-        # ---- dedup first-occurrence (min order key; keep max attempts)
+        # ---- dedup first-occurrence: min (birth_round, pseq, lidx, depth)
+        # per url, keep max attempts — the same total order as the crawl
+        # pipeline's packed int64 key (crawl._pack_order)
         by_url = {}
         for row in frontier:
-            key = (row["birth_round"], row["pseq"], row["lidx"], row["url"])
+            key = (row["birth_round"], row["pseq"], row["lidx"], row["depth"])
             cur = by_url.get(row["url"])
             if cur is None:
                 by_url[row["url"]] = (key, dict(row))

@@ -1,0 +1,150 @@
+"""Text-analysis operators over a documents table: token counting,
+quality scoring, language-ID, document fingerprinting.
+
+These are the text-side operators a 100 TB training-data pipeline needs
+(driver brief) plus the reference's text-statistics analogues. Every
+operator is a vectorized ``map_batches`` stage over Arrow/pandas
+batches; the scoring arithmetic is deliberately SQL-replicable so the
+DuckDB oracle can verify it exactly (integer/ratio math, shared regex
+constants).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+#: symbols (RE2-compatible — shared with the oracle SQL).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Whitespace split pattern (Python re.split / DuckDB string_split_regex).
+WS_SPLIT_PATTERN = r"\s+"
+
+#: Tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic. Shared verbatim with the oracle SQL.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "for"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "los", "de", "que", "y", "una", "por", "con"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+LANG_ORDER = tuple(sorted(LANG_STOPWORDS))  # deterministic argmax tie-break
+
+
+def token_count_stage(batch: pa.Table) -> pa.Table:
+    """doc_id → whitespace-token and BPE-ish token counts (vectorized)."""
+    text = batch["text"]
+    ws = pc.count_substring_regex(pc.utf8_trim_whitespace(text), WS_SPLIT_PATTERN)
+    nonempty = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+    n_ws = pc.if_else(nonempty, pc.add(ws, 1), 0)
+    n_bpe = pc.count_substring_regex(text, BPE_TOKEN_PATTERN)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pc.cast(n_ws, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+        }
+    )
+
+
+def quality_score_stage(batch: pa.Table) -> pa.Table:
+    """Length/digit/symbol-ratio quality features + a 0-100 integer score.
+
+    score = clamp(0,100, 60
+                  + min(n_ws_tokens, 200)//5         (length credit)
+                  - (digit_chars*100)//n_chars        (digit penalty)
+                  - (symbol_chars*100)//n_chars)      (symbol penalty)
+    Integer arithmetic only — exactly replicable in SQL.
+    """
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.int64())
+    symbols = pc.cast(pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"), pa.int64())
+    ws = pc.count_substring_regex(pc.utf8_trim_whitespace(text), WS_SPLIT_PATTERN)
+    nonempty = pc.greater(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+    n_ws = pc.cast(pc.if_else(nonempty, pc.add(ws, 1), 0), pa.int64())
+
+    safe_chars = pc.max_element_wise(n_chars, 1)
+    length_credit = pc.divide(pc.min_element_wise(n_ws, 200), 5)
+    digit_pen = pc.divide(pc.multiply(digits, 100), safe_chars)
+    sym_pen = pc.divide(pc.multiply(symbols, 100), safe_chars)
+    raw = pc.subtract(pc.subtract(pc.add(length_credit, 60), digit_pen), sym_pen)
+    score = pc.max_element_wise(pc.min_element_wise(raw, 100), 0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_ws,
+            "digit_chars": digits,
+            "symbol_chars": symbols,
+            "quality": pc.cast(score, pa.int64()),
+        }
+    )
+
+
+class LangIdStage:
+    """Stopword-hit language ID (actor stage: token sets built once).
+
+    predicted = argmax over languages of exact-token stopword hits
+    (space-split tokens), ties broken by LANG_ORDER; no hits → 'und'.
+    """
+
+    def __init__(self):
+        self.sets = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        pred = []
+        for t in texts:
+            toks = (t or "").split(" ")
+            best_lang, best_hits = "und", 0
+            for lang in LANG_ORDER:
+                hits = sum(1 for tok in toks if tok in self.sets[lang])
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            pred.append(best_lang)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "predicted_lang": pa.array(pred, pa.string()),
+            }
+        )
+
+
+def fingerprint_stage(batch: pa.Table) -> pa.Table:
+    """64-bit rolling polynomial fingerprint over whitespace tokens
+    (per-doc content identity; CRC32 per token keeps it C-speed)."""
+    texts = batch["text"].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    MOD = (1 << 64) - 59  # largest 64-bit prime-ish modulus
+    BASE = 1_000_003
+    for i, t in enumerate(texts):
+        h = 0
+        for tok in (t or "").split():
+            h = (h * BASE + (zlib.crc32(tok.encode("utf-8")) + 1)) % MOD
+        out[i] = h
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())})
+
+
+def run_token_count(docs):
+    return docs.map_batches(token_count_stage, batch_format="pyarrow")
+
+
+def run_quality(docs):
+    return docs.map_batches(quality_score_stage, batch_format="pyarrow")
+
+
+def run_lang_id(docs, concurrency: int = 2):
+    return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
+
+
+def run_fingerprint(docs):
+    return docs.map_batches(fingerprint_stage, batch_format="pyarrow")

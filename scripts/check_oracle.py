@@ -1,0 +1,126 @@
+"""Local mirror of the driver's CORRECTNESS gate: run every queries()
+entry and its oracle_sql() side-by-side at sf0.01 (or --sf), compare
+row count, schema (column names), and order-insensitive values.
+
+The comparison here is STRICTER than a value hash: after sorting columns
+by name and rows by all columns, cell values must be exactly equal
+(floats compared bit-for-bit after the pipelines' own deterministic
+rounding). If this passes locally it passes in the driver.
+
+Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(result):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    raise TypeError(type(result))
+
+
+def canon(df):
+    """Sort columns by name, rows by all columns; normalize dtypes."""
+    import numpy as np
+    import pandas as pd
+
+    df = df.copy()
+    df.columns = [str(c) for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main():
+    import duckdb
+    import ray
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = "/root/testdata/sf0.01"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--sf":
+            sf = sys.argv[1:][i + 1]
+            args = [x for x in args if x != sf]
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from newslookout_ray import api
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    queries = api.queries()
+    oracles = api.oracle_sql()
+    names = args or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            got = canon(to_pandas(queries[name](sf)))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: ray side raised {exc!r}")
+            failures.append(name)
+            continue
+        wall = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows, {wall:.1f}s)")
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        status = []
+        if list(got.columns) != list(want.columns):
+            status.append(f"schema ray={list(got.columns)} sql={list(want.columns)}")
+        elif len(got) != len(want):
+            status.append(f"rows ray={len(got)} sql={len(want)}")
+        else:
+            neq = ~(got.eq(want) | (got.isna() & want.isna()))
+            if neq.any().any():
+                bad_cols = [c for c in got.columns if neq[c].any()]
+                idx = neq.any(axis=1).idxmax()
+                status.append(
+                    f"values differ in {bad_cols}; first row {idx}: "
+                    f"ray={got.loc[idx].to_dict()} sql={want.loc[idx].to_dict()}"
+                )
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(got)} rows match exactly ({wall:.1f}s)")
+    print()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print(f"all {len(names)} queries match their oracles")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Dedup pipeline tests on small hermetic datasets."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from newslookout_ray.pipelines import dedup
+
+DOCS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again and again"},  # exact dup of 1
+    {"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog again and agaim"},  # near dup
+    {"doc_id": 4, "text": "completely different content about databases and query engines"},
+    {"doc_id": 5, "text": "yet another unrelated string mentioning distributed execution"},
+]
+
+
+@pytest.fixture()
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_items(DOCS)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExactDedup:
+    def test_keeper_min_id_and_counts(self, docs_ds):
+        out = {r["keeper_id"]: r["n_dups"] for r in dedup.exact_dedup(docs_ds).take_all()}
+        assert out[1] == 2  # doc 2 collapsed into doc 1
+        assert 2 not in out
+        assert out[3] == out[4] == out[5] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNearDup:
+    def test_exact_ngram_pairs(self, docs_ds):
+        # word-3-gram jaccard: identical docs = 1.0; the one-word edit in
+        # doc 3 breaks 3 of its 10 trigrams (j ≈ 0.54) → threshold 0.5
+        t = dedup.ngram_jaccard_pairs(docs_ds, threshold=0.5)
+        pairs = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+        assert (1, 2) in pairs  # identical
+        assert (1, 3) in pairs and (2, 3) in pairs  # near dup
+        assert all(a < b for a, b in pairs)
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_minhash_lsh_finds_same_pairs(self, docs_ds):
+        exact = dedup.ngram_jaccard_pairs(docs_ds, threshold=0.5)
+        exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+        lsh = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5)  # returns a DataFrame
+        lsh_pairs = set(zip(lsh["a"], lsh["b"]))
+        assert lsh_pairs == exact_pairs
+
+    def test_minhash_signature_deterministic(self):
+        stage = dedup.MinHashStage()
+        s1 = stage.signature(DOCS[0]["text"])
+        s2 = dedup.MinHashStage().signature(DOCS[0]["text"])
+        assert (s1 == s2).all()
+
+    def test_simhash_identical_and_near(self, docs_ds):
+        t = dedup.simhash_table(docs_ds).to_pandas().set_index("doc_id")["simhash"]
+        assert t[1] == t[2]
+        ham13 = bin(int(t[1]) ^ int(t[3])).count("1")
+        ham14 = bin(int(t[1]) ^ int(t[4])).count("1")
+        assert ham13 < ham14  # near-dup closer than unrelated
+
+    def test_simhash_near_pairs(self, docs_ds):
+        pairs = dedup.simhash_near_pairs(docs_ds, max_hamming=8).to_pandas()
+        got = set(zip(pairs["a"], pairs["b"]))
+        assert (1, 2) in got
+        assert all(h <= 8 for h in pairs["hamming"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def test_threshold_pairs(self):
+        import ray.data
+
+        rng = np.random.default_rng(4)
+        base = rng.normal(size=16)
+        rows = [
+            {"vec_id": 0, "embedding": list(base)},
+            {"vec_id": 1, "embedding": list(base + rng.normal(scale=0.01, size=16))},  # near dup
+            {"vec_id": 2, "embedding": list(rng.normal(size=16))},
+        ]
+        ds = ray.data.from_items(rows)
+        out = dedup.embedding_near_pairs(ds, threshold=0.95).to_pandas()
+        assert set(zip(out["a"], out["b"])) == {(0, 1)}
+        assert out["cosine"].iloc[0] > 0.99

@@ -1,0 +1,68 @@
+"""ANN similarity search: brute-force correctness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from newslookout_ray.pipelines import similarity
+
+N, DIM = 200, 32
+
+
+def _corpus():
+    rng = np.random.default_rng(9)
+    return rng.normal(size=(N, DIM))
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data
+
+    mat = _corpus()
+    return ray.data.from_items(
+        [{"vec_id": i, "embedding": list(map(float, mat[i]))} for i in range(N)]
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBruteForce:
+    def test_matches_numpy_ground_truth(self, emb_ds):
+        mat = _corpus()
+        norm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = norm @ norm.T
+        queries = [0, 7, 33]
+        got = similarity.brute_force_topk(emb_ds, queries, k=5).to_pandas()
+        for q in queries:
+            order = sorted(
+                ((float(sims[q, j]), j) for j in range(N) if j != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:5]
+            expect = [j for _, j in order]
+            mine = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+            assert mine == expect, q
+
+    def test_rank_dense(self, emb_ds):
+        got = similarity.brute_force_topk(emb_ds, [1, 2], k=5).to_pandas()
+        for q, grp in got.groupby("query_id"):
+            assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLSH:
+    def test_recall_against_brute_force(self, emb_ds):
+        queries = list(range(10))
+        bf = similarity.brute_force_topk(emb_ds, queries, k=5).to_pandas()
+        lsh = similarity.lsh_topk(emb_ds, queries, k=5, bits=6).to_pandas()
+        bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+        lsh_set = set(zip(lsh["query_id"], lsh["neighbor_id"]))
+        recall = len(bf_set & lsh_set) / len(bf_set)
+        assert recall >= 0.5, recall  # approximate by design; recall bounded
+
+    def test_lsh_results_are_true_cosines(self, emb_ds):
+        mat = _corpus()
+        norm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        lsh = similarity.lsh_topk(emb_ds, [3], k=5, bits=6).to_pandas()
+        for _, row in lsh.iterrows():
+            true_c = float(norm[int(row["query_id"])] @ norm[int(row["neighbor_id"])])
+            assert abs(true_c - row["cosine"]) < 1e-5
