@@ -264,10 +264,12 @@ def _q_crawl_articles(sf):
 
     # sort by doc_id: take_all() block order is nondeterministic under the
     # streaming executor, and the corpus must be a pure function of the input
+    from .util import collect_rows
+
     texts = tuple(
         r["text"]
         for r in sorted(
-            _read(sf, "documents").select_columns(["doc_id", "text"]).take_all(),
+            collect_rows(_read(sf, "documents").select_columns(["doc_id", "text"])),
             key=lambda r: r["doc_id"],
         )
     )

@@ -48,6 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.urlkit import get_host, url_hash64, url_hash64_batch
+from ..util import collect_rows, collect_table
 from ..sources.pages import PagesSpec, seed_frontier
 from ..stages.extract import (
     EXTRACT_SCHEMA,
@@ -88,6 +89,7 @@ class CrawlConfig:
     checkpoint_dir: str = "/tmp/newslookout_ray/crawl"
     extract_concurrency: int = 4
     extract_batch_size: int = 256
+    seen_filter_concurrency: int = 2
     join_partitions: int = 8
     metrics_partitions: int = 8
     profile: SiteProfile = field(default_factory=lambda: DEFAULT_PROFILE)
@@ -168,22 +170,49 @@ def dedup_first_occurrence(frontier_ds):
 
 
 class SeenFilter:
-    """map_batches stage: drop rows whose url is in the seen set (J1)."""
+    """map_batches stage: drop robots-disallowed rows, then rows whose url
+    is in the seen set (J1). ``robots_ref`` is a broadcast
+    {host: [disallow-prefixes]} built once per run from the corpus's
+    robots.txt pages (north rule: robots enforced in the frontier;
+    unknown hosts pass — no policy known)."""
 
-    def __init__(self, actors):
+    def __init__(self, actors, robots_ref=None):
+        import ray
+
         self.client = SeenSetClient(actors)
+        self.robots = ray.get(robots_ref) if robots_ref is not None else {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.robotskit import is_allowed
+
         if batch.num_rows == 0:
             return batch
+        if self.robots:
+            urls = batch["url"].to_pylist()
+            hosts = batch["host"].to_pylist()
+            allowed = pa.array(
+                [is_allowed(u, self.robots.get(h)) for u, h in zip(urls, hosts)]
+            )
+            batch = batch.filter(allowed)
+            if batch.num_rows == 0:
+                return batch
         hashes = url_hash64_batch(batch["url"].to_pylist())
         seen = self.client.contains_many(hashes)
         return batch.filter(pa.array(~seen))
 
 
+def _dedup_sort(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.assign(pack=_pack_order(df))
+    df = df.sort_values(["pack", "url"], kind="mergesort").drop_duplicates(
+        "url", keep="first"
+    )
+    return df.sort_values(ORDER_KEY, kind="mergesort").drop(columns=["pack"])
+
+
 def politeness_select(frontier_ds, budget: int):
     """Fused first-occurrence dedup (U8) + per-host FIFO politeness
-    selection in ONE host-keyed shuffle.
+    selection in ONE host-keyed shuffle (selected rows only — see
+    politeness_split when the deferred stream is also needed).
 
     Correctness of the fusion: every row of a url shares the url's host,
     so per-url dedup can happen inside the host group. The dedup winner
@@ -199,13 +228,6 @@ def politeness_select(frontier_ds, budget: int):
     affect ordering, which is queue FIFO — SURVEY.md §7.5).
     """
 
-    def _dedup_sort(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(pack=_pack_order(df))
-        df = df.sort_values(["pack", "url"], kind="mergesort").drop_duplicates(
-            "url", keep="first"
-        )
-        return df.sort_values(ORDER_KEY, kind="mergesort").drop(columns=["pack"])
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return _dedup_sort(df).groupby("host", sort=False).head(budget)
 
@@ -219,6 +241,166 @@ def politeness_select(frontier_ds, budget: int):
         .groupby("host")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def politeness_split(frontier_ds, budget: int, max_attempts: int):
+    """politeness_select variant emitting BOTH streams from the one host
+    shuffle: selected rows get ``order_in_host`` 0..B-1 and
+    ``selected=True``; the rest are the deferred carryover (attempts+1,
+    rows over the attempt cap dropped — pending_urls retry semantics,
+    session_hist.py:114). Phase 1 only dedups per url within the batch —
+    no head() truncation, since deferred rows must survive to the next
+    round."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(pack=_pack_order(df))
+        df = (
+            df.sort_values(["pack", "url"], kind="mergesort")
+            .drop_duplicates("url", keep="first")
+            .drop(columns=["pack"])
+        )
+        return df
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        g = _dedup_sort(df).reset_index(drop=True)
+        n_sel = min(budget, len(g))
+        order = np.full(len(g), -1, dtype=np.int64)
+        order[:n_sel] = np.arange(n_sel)
+        g["order_in_host"] = order
+        g["selected"] = order >= 0
+        att = g["attempts"].to_numpy(np.int32).copy()
+        att[n_sel:] += 1
+        g["attempts"] = att
+        keep = g["selected"] | (g["attempts"] <= max_attempts)
+        return g[keep]
+
+    return (
+        frontier_ds.map_batches(partial, batch_format="pandas")
+        .groupby("host")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def make_seen_filter(actors, robots_ref):
+    """Stateless-task form of SeenFilter: client construction is trivial
+    (actor handles), so plain tasks reuse warm worker processes with no
+    per-round actor-pool spawn."""
+    import ray
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..functions.robotskit import is_allowed
+
+        if batch.num_rows == 0:
+            return batch
+        robots = ray.get(robots_ref) if robots_ref is not None else {}
+        if robots:
+            urls = batch["url"].to_pylist()
+            hosts = batch["host"].to_pylist()
+            allowed = pa.array(
+                [is_allowed(u, robots.get(h)) for u, h in zip(urls, hosts)]
+            )
+            batch = batch.filter(allowed)
+            if batch.num_rows == 0:
+                return batch
+        client = SeenSetClient(actors)
+        hashes = url_hash64_batch(batch["url"].to_pylist())
+        seen = client.contains_many(hashes)
+        return batch.filter(pa.array(~seen))
+
+    return stage
+
+
+# process-level cache: compiled profiles survive across rounds/executions
+# inside each worker process (regex packs compile once per worker, not
+# once per round — the reason this stage is tasks, not an actor pool)
+_CP_CACHE: dict = {}
+
+
+def _compiled(profile: SiteProfile):
+    from ..stages.profiles import CompiledProfile
+
+    cp = _CP_CACHE.get(profile)
+    if cp is None:
+        cp = CompiledProfile(profile)
+        _CP_CACHE[profile] = cp
+    return cp
+
+
+def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
+    """Fused fetch-match + extraction over the pages stream.
+
+    One task stage: each pages batch probes the broadcast selected-row
+    map, simulates the HTTP status, and extracts matching pages —
+    eliminating the separate join materialization + actor-pool handoff.
+    """
+    import ray
+
+    from ..stages.extract import ARTICLE_FIELDS, process_fetched_page
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from .fetchsim import simulate_status as _status
+
+        sel = ray.get(sel_ref)
+        cp = _compiled(profile)
+        urls = batch["url"].to_pylist()
+        out = {name: [] for name, _ in ARTICLE_FIELDS}
+        for i, url in enumerate(urls):
+            row = sel.get(url)
+            if row is None:
+                continue
+            status = _status(url, status_seed, is_hub=profile.is_hub(url))
+            if status != 200:
+                rec = {"state": STATE_ERROR, "links": [], "title": "", "text": "",
+                       "unique_id": "", "pubdate": None, "raw_size": 0, "text_size": 0}
+            else:
+                rec = process_fetched_page(cp, url, batch["html"][i].as_py(), now=now)
+            out["url"].append(url)
+            out["host"].append(row["host"])
+            out["unique_id"].append(rec["unique_id"])
+            out["pubdate"].append(rec["pubdate"])
+            out["title"].append(rec["title"])
+            out["text"].append(rec["text"])
+            out["module"].append(profile.name)
+            out["state"].append(rec["state"])
+            out["raw_size"].append(rec["raw_size"])
+            out["text_size"].append(rec["text_size"])
+            out["links"].append(rec["links"])
+            out["pseq"].append(row["pseq"])
+            out["lidx"].append(row["lidx"])
+            out["depth"].append(row["depth"])
+            out["order_in_host"].append(row["order_in_host"])
+            out["status"].append(status)
+        arrays = [pa.array(out[name], type=typ) for name, typ in ARTICLE_FIELDS]
+        return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+
+    return stage
+
+
+def _missing_rows_table(missing_urls, sel_rows, module: str) -> pa.Table:
+    """status-404 extract rows for selected urls absent from the corpus."""
+    from ..stages.extract import ARTICLE_FIELDS
+
+    cols = {name: [] for name, _ in ARTICLE_FIELDS}
+    for u in missing_urls:
+        row = sel_rows[u]
+        cols["url"].append(u)
+        cols["host"].append(row["host"])
+        cols["unique_id"].append("")
+        cols["pubdate"].append(None)
+        cols["title"].append("")
+        cols["text"].append("")
+        cols["module"].append(module)
+        cols["state"].append(STATE_ERROR)
+        cols["raw_size"].append(0)
+        cols["text_size"].append(0)
+        cols["links"].append([])
+        cols["pseq"].append(row["pseq"])
+        cols["lidx"].append(row["lidx"])
+        cols["depth"].append(row["depth"])
+        cols["order_in_host"].append(row["order_in_host"])
+        cols["status"].append(404)
+    arrays = [pa.array(cols[name], type=typ) for name, typ in ARTICLE_FIELDS]
+    return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +469,7 @@ def fetch_join(pages_path: str, cfg: CrawlConfig, sel_rows: dict):
 
     matched = pages.map_batches(match_stage, batch_format="pyarrow").materialize()
     matched_urls = set(
-        r["url"] for r in matched.select_columns(["url"]).take_all()
+        collect_table(matched.select_columns(["url"]))["url"].to_pylist()
     )
     missing = [u for u in sel_rows if u not in matched_urls]
     if missing:
@@ -361,6 +543,42 @@ class CrawlRun:
         self.actors = make_seen_actors(cfg.num_seen_shards, cfg.seen_capacity)
         self.client = SeenSetClient(self.actors)
         self.metrics = []
+        self.robots_ref = None  # set in run(): broadcast {host: prefixes}
+
+    def _load_robots(self):
+        """Fetch every seed host's robots.txt from the corpus (out-of-band
+        prologue — the reference's robotparser fetch is likewise outside
+        the politeness budget) and broadcast the disallow map."""
+        import ray
+        import ray.data
+
+        from ..functions.robotskit import parse_robots, robots_url
+        from ..sources.pages import host_name
+
+        wanted = {
+            robots_url(host_name(self.spec, i)): host_name(self.spec, i)
+            for i in range(self.spec.n_hosts)
+        }
+        buckets = sorted({url_hash64(u) % self.cfg.n_page_buckets for u in wanted})
+        pages = ray.data.read_parquet(
+            self.pages_path,
+            columns=["url", "html"],
+            filter=pc.field("b").isin(buckets),
+        )
+        wanted_ref = ray.put(set(wanted))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            w = ray.get(wanted_ref)
+            mask = pa.array([u in w for u in batch["url"].to_pylist()])
+            return batch.filter(mask)
+
+        robots = {}
+        for row in collect_rows(pages.map_batches(pick, batch_format="pyarrow")):
+            host = wanted[row["url"]]
+            body = row["html"].decode("utf-8") if row["html"] is not None else ""
+            robots[host] = parse_robots(body)
+        self.robots_ref = ray.put(robots)
+        return robots
 
     # -- checkpoint helpers ---------------------------------------------
     def _last_complete_round(self) -> int:
@@ -403,6 +621,7 @@ class CrawlRun:
                     [dict(r, birth_round=0) for r in seed_frontier(self.spec)], 0
                 )
 
+        self._load_robots()
         summary = {"rounds": [], "resumed_at": last_done + 1, "seen_restored": restored}
         for r in range(cfg.rounds):
             if r <= last_done:
@@ -414,53 +633,74 @@ class CrawlRun:
 
     def _run_round(self, r: int) -> dict:
         import ray
+        import ray.data
 
         cfg = self.cfg
         t0 = time.time()
+        stage_sec = {}
+
+        def _mark(name, since=[t0]):
+            now = time.time()
+            stage_sec[name] = round(now - since[0], 3)
+            since[0] = now
+
         frontier = self._read_frontier(r)
 
-        # dedup is fused into politeness_select (one host shuffle); the
-        # seen filter runs on the raw frontier (duplicate urls are just
-        # extra membership probes). Materialize BEFORE this round's
-        # fetches mutate the seen set, so the deferred branch below
-        # re-reads a frozen snapshot.
+        # ONE shuffle: seen/robots filter (lazy tasks) feeds the fused
+        # dedup + politeness split, which emits selected AND deferred
+        # rows together; materialized once (frozen before this round's
+        # fetches mutate the seen set).
         unseen = frontier.map_batches(
-            SeenFilter,
-            batch_format="pyarrow",
-            concurrency=2,
-            fn_constructor_args=(self.actors,),
+            make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
+        )
+        split = politeness_split(
+            unseen, cfg.per_host_budget, cfg.max_pending_attempts
         ).materialize()
-        selected = politeness_select(unseen, cfg.per_host_budget).materialize()
-        sel_count = selected.count()
+        _mark("politeness")
 
-        # deferred = unseen candidates not selected this round (anti-join
-        # via broadcast of the small selected url set: hosts × budget)
-        sel_rows = {row["url"]: row for row in selected.take_all()}
-        sel_urls = set(sel_rows)
-        sel_ref = ray.put(sel_urls)
-        max_attempts = cfg.max_pending_attempts
-
-        def defer_stage(batch: pa.Table) -> pa.Table:
-            sel = ray.get(sel_ref)
-            mask = pa.array([u not in sel for u in batch["url"].to_pylist()])
-            out = batch.filter(mask)
-            attempts = pc.add(out["attempts"], pa.scalar(1, pa.int32())).cast(pa.int32())
-            out = out.set_column(
-                out.schema.get_field_index("attempts"), "attempts", attempts
+        selected_tbl = collect_table(
+            split.map_batches(
+                lambda t: t.filter(t["selected"]), batch_format="pyarrow"
             )
-            return out.filter(pc.less_equal(out["attempts"], max_attempts))
+        )
+        sel_count = selected_tbl.num_rows
+        sel_rows = {
+            row["url"]: row for row in selected_tbl.to_pylist()
+        }
+        sel_ref = ray.put(sel_rows)
+        deferred = split.map_batches(
+            lambda t: t.filter(pc.invert(t["selected"])).drop_columns(
+                ["selected", "order_in_host"]
+            ),
+            batch_format="pyarrow",
+        )
+        _mark("collect_selected")
 
-        deferred = unseen.map_batches(defer_stage, batch_format="pyarrow")
-
-        # fetch + extract (read only the url-hash buckets this round touches)
-        fetched = fetch_join(self.pages_path, cfg, sel_rows)
-        extracted = fetched.map_batches(
-            PageExtractor,
+        # fused fetch + extract: bucket-pruned pages stream through one
+        # stateless task stage (broadcast selected map; compiled profile
+        # cached per worker process — no per-round actor pool)
+        buckets = sorted({url_hash64(u) % cfg.n_page_buckets for u in sel_rows})
+        pages = ray.data.read_parquet(
+            self.pages_path,
+            columns=["url", "html"],
+            filter=pc.field("b").isin(buckets),
+        )
+        extracted = pages.map_batches(
+            make_fetch_extract(sel_ref, cfg.profile, cfg.status_seed, REFERENCE_NOW),
             batch_format="pyarrow",
             batch_size=cfg.extract_batch_size,
-            concurrency=cfg.extract_concurrency,
-            fn_constructor_args=(cfg.profile, REFERENCE_NOW),
         ).materialize()
+        matched_urls = set(
+            collect_table(extracted.select_columns(["url"]))["url"].to_pylist()
+        )
+        missing = [u for u in sel_rows if u not in matched_urls]
+        if missing:
+            extracted = extracted.union(
+                ray.data.from_arrow(
+                    _missing_rows_table(missing, sel_rows, cfg.profile.name)
+                )
+            ).materialize()
+        _mark("fetch_extract")
 
         # articles sink (round-partitioned, resumable layout)
         articles = extracted.map_batches(
@@ -474,6 +714,7 @@ class CrawlRun:
         extracted.select_columns(
             ["host", "order_in_host", "url", "state", "status"]
         ).write_parquet(os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}"))
+        _mark("writes")
 
         # mark fetched urls seen (streamed, per-batch shard RPCs)
         n_articles = n_errors = 0
@@ -485,6 +726,7 @@ class CrawlRun:
             self.client.add_many(url_hash64_batch(urls), urls, states, r)
             n_articles += int((states == STATE_ARTICLE).sum())
             n_errors += int((states == STATE_ERROR).sum())
+        _mark("mark_seen")
 
         # next frontier: deferred ∪ links born this round
         def explode_links(batch: pa.Table) -> pa.Table:
@@ -515,18 +757,21 @@ class CrawlRun:
             new_links.select_columns(FRONTIER_SCHEMA.names)
         )
         self._write_frontier(next_frontier, r + 1)
+        _mark("next_frontier")
 
         # lineage metrics: one row per url-hash partition
         self._write_metrics(extracted, r, time.time() - t0)
 
         # seen snapshots then manifest (LAST — presence ⇒ round complete)
         self.client.snapshot_all(os.path.join(cfg.checkpoint_dir, "seen"), r)
+        _mark("metrics_snapshot")
         stats = {
             "round": r,
             "selected": sel_count,
             "articles": n_articles,
             "errors": n_errors,
             "wall_sec": round(time.time() - t0, 3),
+            "stage_sec": stage_sec,
         }
         with open(_manifest_path(cfg, r) + ".tmp", "w") as fh:
             json.dump(stats, fh)

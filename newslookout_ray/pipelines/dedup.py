@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import collect_rows, collect_table
+
 NGRAM = 3
 MINHASH_PERMS = 128
 LSH_BANDS = 32  # rows per band = 128/32 = 4
@@ -187,10 +189,11 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
     bands = bands.materialize()
     key_counts = bands.groupby("band_key").aggregate(Count(alias_name="n"))
     hot_keys = set(
-        r["band_key"]
-        for r in key_counts.map_batches(
-            lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
-        ).take_all()
+        collect_table(
+            key_counts.map_batches(
+                lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+            )
+        )["band_key"].to_pylist()
     )
     hot_ref = ray.put(hot_keys)
 
@@ -224,9 +227,8 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
     # verifier is an ACTOR stage so each worker computes a doc's shingle
     # set at most once — candidate sets from low-similarity corpora can
     # be quadratic-ish, and per-pair shingle recompute was the hot loop.
-    texts_ref = ray.put(
-        {r["doc_id"]: r["text"] for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    )
+    _t = collect_table(docs.select_columns(["doc_id", "text"]))
+    texts_ref = ray.put(dict(zip(_t["doc_id"].to_pylist(), _t["text"].to_pylist())))
     thr = threshold
 
     class VerifyJaccard:
@@ -355,7 +357,7 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.8, num_blocks: int = 4):
 
     import ray
 
-    rows = docs.select_columns(["doc_id", "text"]).take_all()
+    rows = collect_rows(docs.select_columns(["doc_id", "text"]))
     blocks = [[] for _ in range(num_blocks)]
     for r in rows:
         blocks[r["doc_id"] % num_blocks].append((r["doc_id"], r["text"]))
@@ -403,7 +405,7 @@ def embedding_near_pairs(embeddings, threshold: float = 0.4):
     """
     import ray
 
-    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
+    rows = collect_rows(embeddings.select_columns(["vec_id", "embedding"]))
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .dedup import floor_round
+from ..util import collect_rows
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
@@ -38,10 +39,12 @@ def brute_force_topk(embeddings, query_ids, k: int = 5):
     """
     import ray
 
-    q_rows = embeddings.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
-        batch_format="pyarrow",
-    ).take_all()
+    q_rows = collect_rows(
+        embeddings.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+            batch_format="pyarrow",
+        )
+    )
     qids, qmat = _rows_to_matrix(q_rows)
     qref = ray.put((qids, _normalized(qmat)))
 
@@ -106,10 +109,12 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
     """
     import ray
 
-    q_rows = embeddings.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
-        batch_format="pyarrow",
-    ).take_all()
+    q_rows = collect_rows(
+        embeddings.map_batches(
+            lambda t: t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(query_ids))),
+            batch_format="pyarrow",
+        )
+    )
     qids, qmat = _rows_to_matrix(q_rows)
     qn = _normalized(qmat)
     dim = qmat.shape[1]

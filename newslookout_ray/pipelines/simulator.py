@@ -45,9 +45,9 @@ class SimResult:
 
 
 def build_web(spec: PagesSpec) -> dict:
-    """url → html bytes for the whole synthetic corpus."""
+    """url → html bytes for the whole synthetic corpus (incl. robots rows)."""
     web = {}
-    for pid in range(spec.n_pages):
+    for pid in range(spec.n_total_rows):
         rec = page_record(spec, pid)
         web[rec["url"]] = rec["html"]
     return web
@@ -58,6 +58,16 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
         web = build_web(spec)
     cp = CompiledProfile(cfg.profile)
     res = SimResult()
+
+    # robots prologue (out-of-band, mirrors CrawlRun._load_robots)
+    from ..functions.robotskit import is_allowed, parse_robots, robots_url
+    from ..sources.pages import host_name
+
+    robots = {}
+    for i in range(spec.n_hosts):
+        host = host_name(spec, i)
+        body = web.get(robots_url(host))
+        robots[host] = parse_robots(body.decode("utf-8")) if body is not None else []
 
     # frontier rows: dict(url, host, birth_round, pseq, lidx, depth, attempts)
     frontier = [dict(r, birth_round=0) for r in seed_frontier(spec)]
@@ -80,8 +90,12 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
                 by_url[row["url"]] = (min(key, cur_key), winner)
         candidates = [v[1] for v in by_url.values()]
 
-        # ---- seen anti-join
-        unseen = [c for c in candidates if c["url"] not in res.seen]
+        # ---- robots filter then seen anti-join
+        unseen = [
+            c
+            for c in candidates
+            if is_allowed(c["url"], robots.get(c["host"])) and c["url"] not in res.seen
+        ]
 
         # ---- politeness: per-host FIFO, budget B
         hosts: dict = {}
@@ -144,6 +158,8 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
         if row["url"] not in by_url or key < by_url[row["url"]][0]:
             by_url[row["url"]] = (key, row)
     res.pending = {
-        u: v[1]["attempts"] for u, v in by_url.items() if u not in res.seen
+        u: v[1]["attempts"]
+        for u, v in by_url.items()
+        if u not in res.seen and is_allowed(u, robots.get(v[1]["host"]))
     }
     return res

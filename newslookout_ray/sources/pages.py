@@ -39,6 +39,7 @@ from hashlib import blake2b
 import numpy as np
 import pyarrow as pa
 
+from ..functions.robotskit import robots_url
 from ..functions.urlkit import url_hash64
 
 _WORDS = (
@@ -85,6 +86,11 @@ class PagesSpec:
     def n_articles(self) -> int:
         return max(0, self.n_pages - self.n_hosts)
 
+    @property
+    def n_total_rows(self) -> int:
+        """pages + one robots.txt page per host (ids [n_pages, n_pages+n_hosts))."""
+        return self.n_pages + self.n_hosts
+
 
 def host_name(spec: PagesSpec, host_idx: int) -> str:
     return f"www.host{host_idx}.com"
@@ -109,7 +115,26 @@ def hub_url(spec: PagesSpec, host_idx: int) -> str:
 def page_url(spec: PagesSpec, page_id: int) -> str:
     if page_id < spec.n_hosts:
         return hub_url(spec, page_id)
+    if page_id >= spec.n_pages:  # robots.txt rows appended after articles
+        return robots_url(host_name(spec, page_id - spec.n_pages))
     return article_url(spec, page_id)
+
+
+def robots_disallow_sections(spec: PagesSpec, host_idx: int) -> list:
+    """Deterministic per-host robots policy: ~1 in 4 sections disallowed."""
+    return [
+        s
+        for s in _SECTIONS
+        if _h(spec.seed, host_idx, b"robots-" + s.encode()) % 4 == 0
+    ]
+
+
+def robots_body(spec: PagesSpec, host_idx: int) -> str:
+    lines = ["User-agent: *"]
+    for s in robots_disallow_sections(spec, host_idx):
+        lines.append(f"Disallow: /news/{s}/")
+    lines.append("")
+    return "\n".join(lines)
 
 
 def article_unique_id(spec: PagesSpec, page_id: int) -> str:
@@ -194,6 +219,8 @@ def article_format(spec: PagesSpec, page_id: int) -> str:
 def page_html(spec: PagesSpec, page_id: int) -> str:
     """Full page HTML (str; stored utf-8 encoded in the binary column)."""
     url = page_url(spec, page_id)
+    if page_id >= spec.n_pages:
+        return robots_body(spec, page_id - spec.n_pages)
     if page_id < spec.n_hosts:
         # hub page: link farm + junk links + one relative link
         targets = _article_ids_linked_from(spec, page_id, spec.links_per_hub)
@@ -228,12 +255,13 @@ def page_record(spec: PagesSpec, page_id: int) -> dict:
     """One pages-table row (pure function — shared with the simulator)."""
     url = page_url(spec, page_id)
     base = datetime.strptime(spec.base_date, "%Y-%m-%d")
+    is_article = spec.n_hosts <= page_id < spec.n_pages
     return {
         "url": url,
         "warc_ts": base + timedelta(seconds=int(page_id)),
         "html": page_html(spec, page_id).encode("utf-8"),
-        "text": article_body_text(spec, page_id) if page_id >= spec.n_hosts else "",
-        "lang": article_lang(spec, page_id) if page_id >= spec.n_hosts else "en",
+        "text": article_body_text(spec, page_id) if is_article else "",
+        "lang": article_lang(spec, page_id) if is_article else "en",
     }
 
 
@@ -276,7 +304,9 @@ def make_pages_dataset(spec: PagesSpec, n_buckets: int = 16, parallelism: int = 
     """
     import ray.data
 
-    ds = ray.data.range(spec.n_pages, override_num_blocks=parallelism if parallelism > 0 else None)
+    ds = ray.data.range(
+        spec.n_total_rows, override_num_blocks=parallelism if parallelism > 0 else None
+    )
 
     def gen(batch: pa.Table) -> pa.Table:
         return _records_to_table(spec, batch["id"].to_pylist(), n_buckets)

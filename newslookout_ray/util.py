@@ -1,0 +1,46 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def collect_table(ds) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table on the driver.
+
+    ``Dataset.take_all()`` converts row-by-row through Python dicts and is
+    catastrophically slow on pandas-block outputs (hundreds of seconds
+    for ~10^5 rows in Ray 2.49); pulling block refs and concatenating
+    stays in Arrow (milliseconds). Use ONLY for results known to be small
+    — this is a driver-side materialization.
+    """
+    import ray
+
+    tables = []
+    for ref in ds.to_arrow_refs():
+        t = ray.get(ref)
+        if not isinstance(t, pa.Table):
+            # Ray hands back raw blocks; (empty) pandas blocks arrive
+            # unconverted — normalize through Arrow
+            import pandas as pd
+
+            if isinstance(t, pd.DataFrame):
+                if t.empty:
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            else:
+                raise TypeError(f"unexpected block type {type(t)}")
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        # preserve schema when possible
+        try:
+            return pa.Table.from_pylist([], schema=ds.schema().base_schema)
+        except Exception:  # noqa: BLE001
+            return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def collect_rows(ds) -> list:
+    """Row dicts via the fast Arrow path (see collect_table)."""
+    return collect_table(ds).to_pylist()

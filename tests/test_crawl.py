@@ -78,6 +78,21 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url  # byte-identical contract
 
+    def test_robots_enforced(self, corpus):
+        from newslookout_ray.functions.robotskit import is_allowed, parse_robots
+        from newslookout_ray.sources.pages import host_name, robots_body
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "eq"), rounds=3)  # reuse prior run's output
+        robots = {
+            host_name(SPEC, i): parse_robots(robots_body(SPEC, i))
+            for i in range(SPEC.n_hosts)
+        }
+        assert any(robots.values())  # the corpus actually restricts something
+        got = read_crawl_order(cfg)
+        for _, row in got.iterrows():
+            assert is_allowed(row["url"], robots.get(row["host"])), row["url"]
+
     def test_politeness_budget_enforced(self, corpus):
         root, pages = corpus
         cfg = _cfg(os.path.join(root, "eq"), rounds=3)  # reuse prior run's output

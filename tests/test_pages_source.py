@@ -56,8 +56,9 @@ class TestStructure:
 class TestCorpusWrite:
     def test_write_and_schema(self, tmp_path):
         path = str(tmp_path / "pages")
-        pg.write_pages_corpus(pg.PagesSpec(n_pages=60, n_hosts=4, seed=2), path, n_buckets=4)
+        spec = pg.PagesSpec(n_pages=60, n_hosts=4, seed=2)
+        pg.write_pages_corpus(spec, path, n_buckets=4)
         t = pq.read_table(path)
         assert {"url", "warc_ts", "html", "text", "lang", "b"} <= set(t.schema.names)
-        assert t.num_rows == 60
-        assert len(set(t["url"].to_pylist())) == 60
+        assert t.num_rows == spec.n_total_rows == 64  # 60 pages + 4 robots
+        assert len(set(t["url"].to_pylist())) == 64

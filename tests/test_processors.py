@@ -1,0 +1,73 @@
+"""Processor chain (T14/T13/M1/M2) tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from newslookout_ray.pipelines import processors as pr
+
+
+def _articles_table():
+    base = "the labour strike disrupted the plant and the director resigned after the fraud audit"
+    other = "calm quarterly report with steady growth and no incidents at all this period"
+    return pa.table(
+        {
+            "url": [f"https://www.h{i}.com/news/x/story-{1000000+i}" for i in range(4)],
+            "module": ["profile_a", "profile_b", "profile_a", "profile_b"],
+            "pubdate": [datetime.date(2021, 1, 5)] * 3 + [datetime.date(2021, 1, 6)],
+            "text": ["  " + base + "  ", base + " the", other, other],
+        }
+    )
+
+
+@pytest.fixture()
+def articles_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_articles_table())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChain:
+    def test_full_chain_columns_and_order(self, articles_ds):
+        out = pr.run_processor_chain(articles_ds).to_pandas()
+        # T14 ran before T13/M1 (text stripped)
+        assert out["text"].str.startswith(" ").sum() == 0
+        # T13 columns present with correct flags
+        assert "flag_event_strike" in out and "flag_event_fraud" in out
+        strike_rows = out[out["flag_event_strike"] == 1]
+        assert len(strike_rows) == 2  # the two 'base' texts
+        # M1 sentiment columns: probabilities sum to ~sentence count
+        assert {"sent_positive", "sent_neutral", "sent_negative"} <= set(out.columns)
+        sums = out["sent_positive"] + out["sent_neutral"] + out["sent_negative"]
+        assert (sums > 0).all()
+        # M2: the two near-identical 'base' articles share a pubdate and
+        # differ by module → smaller one marked duplicate
+        dups = out[out["is_duplicate"]]
+        assert len(dups) == 1
+        assert dups.iloc[0]["text"].startswith("the labour")  # the shorter variant
+
+    def test_sentiment_deterministic(self, articles_ds):
+        a = pr.run_processor_chain(articles_ds).to_pandas().sort_values("url")
+        b = pr.run_processor_chain(articles_ds).to_pandas().sort_values("url")
+        assert np.allclose(a["sent_positive"].to_numpy(), b["sent_positive"].to_numpy())
+
+    def test_near_dedup_requires_same_date(self, articles_ds):
+        out = pr.run_processor_chain(articles_ds).to_pandas()
+        # the 'other' pair has identical text but different pubdates → kept
+        kept_other = out[out["text"].str.startswith("calm")]
+        assert not kept_other["is_duplicate"].any()
+
+
+class TestSentimentUnit:
+    def test_batch_shapes(self):
+        stage = pr.SentimentStage()
+        batch = pa.table({"text": ["One. Two! Three?", "", "Just one"]})
+        out = stage(batch)
+        assert out["sent_positive"].to_pylist()[1] == 0.0
+        total0 = sum(out[c].to_pylist()[0] for c in ("sent_positive", "sent_neutral", "sent_negative"))
+        assert abs(total0 - 3.0) < 1e-5  # 3 sentences, probs sum to 1 (rounded to 6dp)
