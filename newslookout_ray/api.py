@@ -297,6 +297,129 @@ def _q_crawl_articles(sf):
     )
 
 
+def _q_rss_links(sf):
+    """S1 round-trip: build one RSS feed per source from the documents
+    table (deterministic xml), parse with the RSS kernel → (source, url).
+    The oracle regenerates the same links relationally."""
+    from .sources.feeds import build_rss_xml, parse_rss_links
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_pylist(), "source": batch["source"].to_pylist()}
+        )
+        out_src, out_url = [], []
+        for source, grp in df.groupby("source", sort=True):
+            links = [
+                f"https://www.{source}.com/news/story-{d}"
+                for d in sorted(grp["doc_id"])
+            ]
+            xml = build_rss_xml(source, links)
+            for link in parse_rss_links(xml):
+                out_src.append(source)
+                out_url.append(link)
+        return pa.table(
+            {"source": pa.array(out_src, pa.string()), "url": pa.array(out_url, pa.string())}
+        )
+
+    # repartition(1): each feed must be built from ALL of its source's
+    # docs — source count is tiny, so a single builder task is the
+    # broadcast-small-side choice, not a shuffle
+    return _read(sf, "documents").select_columns(["doc_id", "source"]).repartition(
+        1
+    ).map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def _q_date_urls(sf):
+    """S4 kernel parity: business-day URL generation (pure function —
+    oracle mirrors it with generate_series + weekday filter)."""
+    from .sources.feeds import business_day_urls
+
+    urls = business_day_urls(
+        "https://www.example.in/content/PR%d%m%y.zip", "2021-02-26", 30
+    )
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def _q_aggregator_route(sf):
+    """S6+U14: synthesize aggregator URLs from documents, route each to
+    its owning profile by host (broadcast domain map)."""
+    import ray
+
+    from .functions.urlkit import get_host
+    from .sources.feeds import route_urls_to_profiles
+
+    from .util import collect_table
+
+    sources = sorted(
+        set(collect_table(_read(sf, "documents").select_columns(["source"]))["source"].to_pylist())
+    )
+    domain_map = {
+        f"www.{s}.com": ("profile_even" if int(s[3:]) % 2 == 0 else "profile_odd")
+        for s in sources
+    }
+    ref = ray.put(domain_map)
+
+    def stage(batch: pa.Table) -> pa.Table:
+        dmap = ray.get(ref)
+        urls = [
+            f"https://www.{s}.com/news/story-{d}"
+            for s, d in zip(batch["source"].to_pylist(), batch["doc_id"].to_pylist())
+        ]
+        routed = route_urls_to_profiles(urls, dmap)
+        return pa.table(
+            {
+                "url": pa.array([u for u, _ in routed], pa.string()),
+                "profile": pa.array([p for _, p in routed], pa.string()),
+            }
+        )
+
+    return _read(sf, "documents").select_columns(["doc_id", "source"]).map_batches(
+        stage, batch_format="pyarrow"
+    )
+
+
+def _q_lsh_ann_topk(sf):
+    """ANN scale path: multi-table hyperplane-LSH bucketed top-k
+    (approximate by design → rows-only; recall vs brute force is
+    test-measured)."""
+    return similarity.lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_simhash_pairs(sf):
+    """SimHash near-dup pairs (banded blocking + exact hamming verify)."""
+    return dedup.simhash_near_pairs(
+        _read(sf, "documents").select_columns(["doc_id", "text"]), max_hamming=12
+    )
+
+
+def _q_media_features(sf):
+    """Multimodal plumbing: synthetic binary payloads → actor featurizer
+    (decode is the documented stub slot)."""
+    from .pipelines.multimodal import media_features
+
+    return media_features(n=500, seed=42)
+
+
+def _q_processed_articles(sf):
+    """Flagship + processor chain: crawl articles → priority-ordered
+    processors (dataprep, trigger-word flags, sentiment stub, within-date
+    near-dedup)."""
+    import ray.data
+
+    from .pipelines.processors import run_processor_chain
+
+    articles = _q_crawl_articles(sf)
+    ds = ray.data.from_arrow(
+        articles.select(["url", "host", "unique_id", "pubdate", "title", "text"]).append_column(
+            "module", pa.array(["synthetic"] * articles.num_rows)
+        )
+    )
+    out = run_processor_chain(ds, concurrency=2)
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
 QUERIES = {
     "token_count": _q_token_count,
     "quality_score": _q_quality,
@@ -321,6 +444,13 @@ QUERIES = {
     "top_orders": _q_top_orders,
     "url_kernels": _q_url_kernels,
     "crawl_articles": _q_crawl_articles,
+    "rss_links": _q_rss_links,
+    "date_urls": _q_date_urls,
+    "aggregator_route": _q_aggregator_route,
+    "lsh_ann_topk": _q_lsh_ann_topk,
+    "simhash_pairs": _q_simhash_pairs,
+    "media_features": _q_media_features,
+    "processed_articles": _q_processed_articles,
 }
 
 
@@ -473,8 +603,24 @@ def _oracle_sql() -> dict:
             '^[a-z][a-z0-9+.\\-]*://([^/?#]*).*$', '\\1') AS host
         FROM documents
     """
-    # fingerprint / simhash / crawl_articles: not SQL-expressible
-    # (iterative hashing / distributed crawl state) → rows-only checks.
+    sql["rss_links"] = """
+        SELECT source, 'https://www.' || source || '.com/news/story-' || doc_id AS url
+        FROM documents
+    """
+    sql["date_urls"] = """
+        SELECT strftime(d::DATE, 'https://www.example.in/content/PR%d%m%y.zip') AS url
+        FROM generate_series(DATE '2021-01-28', DATE '2021-02-26', INTERVAL 1 DAY) t(d)
+        WHERE dayofweek(d::DATE) BETWEEN 1 AND 5
+    """
+    sql["aggregator_route"] = """
+        SELECT 'https://www.' || source || '.com/news/story-' || doc_id AS url,
+          CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+               THEN 'profile_even' ELSE 'profile_odd' END AS profile
+        FROM documents
+    """
+    # fingerprint / simhash / crawl+processor / lsh-ann / media: not
+    # SQL-expressible (iterative hashing, distributed crawl state,
+    # approximate-by-design, stubbed decode) → rows-only checks.
     return sql
 
 

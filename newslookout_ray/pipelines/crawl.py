@@ -21,13 +21,20 @@ via the pending_urls table (worker.py:753-817, 1057-1070). A crawl
     fetching.
 
 Scale design notes (10^10-URL frontier, multi-node):
-  - the pages table is NEVER fully materialized: the fetch join reads
-    only the url-hash buckets the round's selected frontier touches
-    (partition-column pushdown), then hash-joins on url;
-  - per-round working state (the selected frontier) is bounded by
-    hosts × budget; candidate dedup/politeness use combiner-style
-    pre-aggregation inside map_batches before the one groupby shuffle;
-  - the seen set is sharded actors (state/cuckoo.py), queried per-batch;
+  - the pages table is NEVER fully materialized: the fetch reads only
+    the url-hash buckets the round's selected frontier touches (in-file
+    bucket column pruning) and streams them through ONE stateless task
+    stage that probes the broadcast selected-frontier table (a broadcast
+    semi-join — sound because the politeness budget bounds the selected
+    set to hosts × budget; `fetch_join` keeps the hash-join form for
+    frontiers too large to broadcast);
+  - dedup + politeness fuse into ONE host-keyed shuffle that emits the
+    selected AND deferred streams together (politeness_split);
+  - the seen set is sharded cuckoo-filter actors (state/cuckoo.py),
+    probed and updated by distributed per-batch RPCs (idempotent adds);
+  - worker processes cache compiled regex packs and deserialized
+    broadcasts across rounds (stages are tasks, not per-round actor
+    pools — state is cheap to rebuild, so warm workers beat pool spawns);
   - every round's outputs land in round-partitioned Parquet and a
     manifest is written LAST — a killed run resumes at the first round
     without a manifest, rebuilding seen shards from their snapshots,
@@ -310,10 +317,31 @@ def make_seen_filter(actors, robots_ref):
     return stage
 
 
-# process-level cache: compiled profiles survive across rounds/executions
-# inside each worker process (regex packs compile once per worker, not
-# once per round — the reason this stage is tasks, not an actor pool)
+# process-level caches: compiled profiles and deserialized broadcast
+# objects survive across rounds/executions inside each worker process
+# (a python-dict broadcast is re-unpickled on EVERY ray.get — caching
+# the built lookup per worker turns ~30 MB × n_tasks of deserialization
+# into once-per-worker; the broadcast itself is an Arrow table, which
+# plasma shares zero-copy)
 _CP_CACHE: dict = {}
+_BCAST_CACHE: dict = {}
+
+
+def _cached_sel_map(sel_ref) -> dict:
+    import ray
+
+    key = sel_ref.hex() if hasattr(sel_ref, "hex") else id(sel_ref)
+    cached = _BCAST_CACHE.get(key)
+    if cached is None:
+        table = ray.get(sel_ref)
+        cols = {name: table[name].to_pylist() for name in table.schema.names}
+        cached = {
+            url: {name: cols[name][i] for name in cols}
+            for i, url in enumerate(cols["url"])
+        }
+        _BCAST_CACHE.clear()  # one live round at a time
+        _BCAST_CACHE[key] = cached
+    return cached
 
 
 def _compiled(profile: SiteProfile):
@@ -340,7 +368,7 @@ def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
     def stage(batch: pa.Table) -> pa.Table:
         from .fetchsim import simulate_status as _status
 
-        sel = ray.get(sel_ref)
+        sel = _cached_sel_map(sel_ref)
         cp = _compiled(profile)
         urls = batch["url"].to_pylist()
         out = {name: [] for name, _ in ARTICLE_FIELDS}
@@ -667,7 +695,9 @@ class CrawlRun:
         sel_rows = {
             row["url"]: row for row in selected_tbl.to_pylist()
         }
-        sel_ref = ray.put(sel_rows)
+        # broadcast the Arrow table (plasma-shared), not the python dict —
+        # workers build their lookup once via the process-level cache
+        sel_ref = ray.put(selected_tbl)
         deferred = split.map_batches(
             lambda t: t.filter(pc.invert(t["selected"])).drop_columns(
                 ["selected", "order_in_host"]
@@ -716,16 +746,29 @@ class CrawlRun:
         ).write_parquet(os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}"))
         _mark("writes")
 
-        # mark fetched urls seen (streamed, per-batch shard RPCs)
-        n_articles = n_errors = 0
-        for batch in extracted.select_columns(["url", "state"]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"
-        ):
+        # mark fetched urls seen — a distributed pass (each task batches
+        # RPCs to the shard actors); safe under task retries because
+        # SeenShardState.add_many is idempotent
+        actors = self.actors
+
+        def mark_stage(batch: pa.Table) -> pa.Table:
             urls = batch["url"].to_pylist()
             states = batch["state"].to_numpy()
-            self.client.add_many(url_hash64_batch(urls), urls, states, r)
-            n_articles += int((states == STATE_ARTICLE).sum())
-            n_errors += int((states == STATE_ERROR).sum())
+            SeenSetClient(actors).add_many(url_hash64_batch(urls), urls, states, r)
+            return pa.table(
+                {
+                    "n_articles": pa.array([int((states == STATE_ARTICLE).sum())], pa.int64()),
+                    "n_errors": pa.array([int((states == STATE_ERROR).sum())], pa.int64()),
+                }
+            )
+
+        counts = collect_table(
+            extracted.select_columns(["url", "state"]).map_batches(
+                mark_stage, batch_format="pyarrow", batch_size=8192
+            )
+        )
+        n_articles = int(pc.sum(counts["n_articles"]).as_py() or 0)
+        n_errors = int(pc.sum(counts["n_errors"]).as_py() or 0)
         _mark("mark_seen")
 
         # next frontier: deferred ∪ links born this round

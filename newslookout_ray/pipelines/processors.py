@@ -153,24 +153,26 @@ def near_dedup_articles_stage(df: pd.DataFrame) -> pd.DataFrame:
     date directory (base_plugin.py:449-488).
     """
     df = df.reset_index(drop=True)
-    vecs = np.stack([_bag_vector(t) for t in df["text"]])
+    n = len(df)
+    vecs = np.stack([_bag_vector(t) for t in df["text"]]).astype(np.float32)
     sizes = df["text"].str.len().to_numpy()
     modules = df["module"].to_numpy()
-    dup_of = np.full(len(df), -1, dtype=np.int64)
+    # screen on the similarity matrix directly (threshold is high, so the
+    # candidate set is tiny — never materialize all O(n²) pairs), then
+    # the greedy marking loop runs over survivors in (i, j) lexicographic
+    # order — identical outcome to the reference's all-pairs loop, since
+    # non-candidates can never mark anything
     sims = vecs @ vecs.T
-    for i in range(len(df)):
-        if dup_of[i] >= 0:
+    cand = np.argwhere(np.triu(sims >= 0.99, k=1))  # sorted row-major
+    dup_of = np.full(n, -1, dtype=np.int64)
+    for i, j in cand:
+        if dup_of[i] >= 0 or dup_of[j] >= 0 or modules[i] == modules[j]:
             continue
-        for j in range(i + 1, len(df)):
-            if dup_of[j] >= 0 or modules[i] == modules[j]:
-                continue
-            big, small = max(sizes[i], sizes[j]), min(sizes[i], sizes[j])
-            if big == 0 or (big - small) / big > 0.15:
-                continue
-            if sims[i, j] >= 0.99:
-                loser = i if sizes[i] < sizes[j] else j
-                keeper = j if loser == i else i
-                dup_of[loser] = df["doc_index"].iloc[keeper] if "doc_index" in df else keeper
+        big, small = max(sizes[i], sizes[j]), min(sizes[i], sizes[j])
+        if big == 0 or (big - small) > 0.15 * big:
+            continue
+        loser = i if sizes[i] < sizes[j] else j
+        dup_of[loser] = j if loser == i else i
     df["is_duplicate"] = dup_of >= 0
     return df
 
