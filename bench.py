@@ -144,8 +144,14 @@ def run_bench() -> dict:
     from newslookout_ray.pipelines.processors import run_processor_chain
 
     t0 = time.time()
-    articles = ray.data.read_parquet(os.path.join(ckpt, "articles")).select_columns(
-        ["url", "module", "pubdate", "text"]
+    import pyarrow.compute as _pc
+
+    articles = (
+        ray.data.read_parquet(os.path.join(ckpt, "fetched"))
+        .map_batches(
+            lambda t: t.filter(_pc.equal(t["state"], 1)), batch_format="pyarrow"
+        )
+        .select_columns(["url", "module", "pubdate", "text"])
     )
     # two actor stages in the chain: size each pool at ~cpus/3 so reads
     # and the final groupby keep CPUs (see run_processor_chain docstring)

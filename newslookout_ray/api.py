@@ -290,8 +290,9 @@ def _q_crawl_articles(sf):
     shutil.rmtree(root, ignore_errors=True)
     write_pages_corpus(spec, os.path.join(root, "pages"), n_buckets=4)
     run_crawl(os.path.join(root, "pages"), spec, cfg)
-    files = sorted(glob.glob(os.path.join(root, "ckpt", "articles", "round=*", "*.parquet")))
-    table = pa.concat_tables([pq.read_table(f) for f in files])
+    from .pipelines.crawl import read_articles
+
+    table = read_articles(os.path.join(root, "ckpt"))
     return table.select(["url", "host", "unique_id", "pubdate", "title", "text", "state"]).sort_by(
         "url"
     )

@@ -732,47 +732,25 @@ class CrawlRun:
             ).materialize()
         _mark("fetch_extract")
 
-        # articles sink (round-partitioned, resumable layout)
-        articles = extracted.map_batches(
-            lambda t: t.filter(pc.equal(t["state"], STATE_ARTICLE)),
-            batch_format="pyarrow",
+        # ONE sink: the full extract table (fetched + articles view) —
+        # articles are the state==1 rows, read back with a filter
+        # (read_articles below); the separate articles directory was a
+        # second full execution per round
+        extracted.drop_columns(["links"]).write_parquet(
+            os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}")
         )
-        articles.drop_columns(["links"]).write_parquet(
-            os.path.join(cfg.checkpoint_dir, "articles", f"round={r}")
-        )
-        # realized fetch order (golden-order comparison + lineage)
-        extracted.select_columns(
-            ["host", "order_in_host", "url", "state", "status"]
-        ).write_parquet(os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}"))
         _mark("writes")
 
-        # mark fetched urls seen — a distributed pass (each task batches
-        # RPCs to the shard actors); safe under task retries because
-        # SeenShardState.add_many is idempotent
+        # next frontier: deferred ∪ links born this round. The explode
+        # pass ALSO marks fetched urls seen (idempotent per-batch RPCs to
+        # the shard actors — safe under task retries), folding what was a
+        # separate full pass into this one.
         actors = self.actors
 
-        def mark_stage(batch: pa.Table) -> pa.Table:
+        def explode_links_and_mark(batch: pa.Table) -> pa.Table:
             urls = batch["url"].to_pylist()
             states = batch["state"].to_numpy()
             SeenSetClient(actors).add_many(url_hash64_batch(urls), urls, states, r)
-            return pa.table(
-                {
-                    "n_articles": pa.array([int((states == STATE_ARTICLE).sum())], pa.int64()),
-                    "n_errors": pa.array([int((states == STATE_ERROR).sum())], pa.int64()),
-                }
-            )
-
-        counts = collect_table(
-            extracted.select_columns(["url", "state"]).map_batches(
-                mark_stage, batch_format="pyarrow", batch_size=8192
-            )
-        )
-        n_articles = int(pc.sum(counts["n_articles"]).as_py() or 0)
-        n_errors = int(pc.sum(counts["n_errors"]).as_py() or 0)
-        _mark("mark_seen")
-
-        # next frontier: deferred ∪ links born this round
-        def explode_links(batch: pa.Table) -> pa.Table:
             out = {n: [] for n in FRONTIER_SCHEMA.names}
             links_col = batch["links"].to_pylist()
             orders = batch["order_in_host"].to_pylist()
@@ -793,17 +771,16 @@ class CrawlRun:
                 {n: pa.array(out[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
             )
 
-        # carry order_in_host through extract for child pseq
-        with_order = extracted  # order_in_host column survives the stages
-        new_links = with_order.map_batches(explode_links, batch_format="pyarrow")
+        new_links = extracted.map_batches(explode_links_and_mark, batch_format="pyarrow")
         next_frontier = deferred.select_columns(FRONTIER_SCHEMA.names).union(
             new_links.select_columns(FRONTIER_SCHEMA.names)
         )
         self._write_frontier(next_frontier, r + 1)
-        _mark("next_frontier")
+        _mark("next_frontier_mark_seen")
 
-        # lineage metrics: one row per url-hash partition
-        self._write_metrics(extracted, r, time.time() - t0)
+        # lineage metrics: one row per url-hash partition (also yields the
+        # round's article/error totals)
+        n_articles, n_errors = self._write_metrics(extracted, r, time.time() - t0)
 
         # seen snapshots then manifest (LAST — presence ⇒ round complete)
         self.client.snapshot_all(os.path.join(cfg.checkpoint_dir, "seen"), r)
@@ -821,7 +798,7 @@ class CrawlRun:
         os.replace(_manifest_path(cfg, r) + ".tmp", _manifest_path(cfg, r))
         return stats
 
-    def _write_metrics(self, extracted, r: int, wall: float) -> None:
+    def _write_metrics(self, extracted, r: int, wall: float) -> tuple:
         cfg = self.cfg
         parts = cfg.metrics_partitions
 
@@ -866,10 +843,28 @@ class CrawlRun:
             pa.Table.from_pandas(rolled, preserve_index=False),
             os.path.join(out_dir, "part.parquet"),
         )
+        if len(rolled):
+            return int(rolled["articles_out"].sum()), int(rolled["errors_permanent"].sum())
+        return 0, 0
 
 
 def run_crawl(pages_path: str, spec: PagesSpec, cfg: CrawlConfig) -> dict:
     return CrawlRun(pages_path, spec, cfg).run()
+
+
+def read_articles(checkpoint_dir: str) -> pa.Table:
+    """Articles view over the per-round fetched tables (state==1 rows)."""
+    import glob
+
+    import pyarrow.dataset as pads
+
+    files = sorted(
+        glob.glob(os.path.join(checkpoint_dir, "fetched", "round=*", "*.parquet"))
+    )
+    if not files:
+        return pa.table({})
+    dataset = pads.dataset(files, format="parquet")
+    return dataset.to_table(filter=pads.field("state") == STATE_ARTICLE)
 
 
 def read_crawl_order(cfg: CrawlConfig) -> pd.DataFrame:

@@ -38,11 +38,12 @@ def _read_seen(ckpt: str) -> dict:
 
 
 def _read_articles(ckpt: str) -> dict:
-    files = glob.glob(os.path.join(ckpt, "articles", "round=*", "*.parquet"))
-    if not files:
+    from newslookout_ray.pipelines.crawl import read_articles
+
+    t = read_articles(ckpt)
+    if t.num_rows == 0:
         return {}
-    df = pd.concat([pq.read_table(f).to_pandas() for f in files])
-    return dict(zip(df["url"], df["text"]))
+    return dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
 
 
 @pytest.fixture(scope="module")
