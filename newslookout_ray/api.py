@@ -88,7 +88,7 @@ def _keyword_flags_sql() -> str:
     for name, pat in textkit.KEYWORD_FLAG_REGEX.items():
         cols.append(
             f"sum(CASE WHEN regexp_matches(lower(text), {_sql_quote(pat.strip())}) "
-            f"THEN 1 ELSE 0 END) AS {name.lower()}"
+            f"THEN 1 ELSE 0 END)::BIGINT AS {name.lower()}"
         )
     return "SELECT " + ", ".join(cols) + " FROM documents"
 
@@ -537,8 +537,8 @@ def _oracle_sql() -> dict:
     sql["pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-          sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-          sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+          sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+          sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))::BIGINT
             AS sum_disc_cents,
           count(*)::BIGINT AS n_rows
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -549,20 +549,20 @@ def _oracle_sql() -> dict:
     )
     sql["user_value_sum"] = """
         SELECT user_id,
-          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents,
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS value_cents,
           count(*)::BIGINT AS n
         FROM events GROUP BY user_id
     """
     sql["windowed_counts"] = """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
           count(*)::BIGINT AS n,
-          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+          sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS value_cents
         FROM events GROUP BY event_type, date_trunc('hour', ts)
     """
     sql["region_rollup"] = """
         SELECT r.r_name,
           count(*)::BIGINT AS customers,
-          sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+          sum(CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT))::BIGINT AS acctbal_cents
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -575,7 +575,7 @@ def _oracle_sql() -> dict:
               AS rev_c
           FROM lineitem GROUP BY l_orderkey)
         SELECT o.o_orderpriority,
-          sum(li.rev_c) AS revenue_cents, count(*)::BIGINT AS orders
+          sum(li.rev_c)::BIGINT AS revenue_cents, count(*)::BIGINT AS orders
         FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
         GROUP BY o.o_orderpriority
     """

@@ -132,7 +132,9 @@ def windowed_counts(events):
     per-batch (no watermark machinery — the table is a closed log)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        # Cast to [us] so the final dtype matches DuckDB's date_trunc output
+        # (driver hash compares un-normalized dtypes; [s] vs [us] mismatches).
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"), pa.timestamp("us"))
         df = pd.DataFrame(
             {
                 "event_type": batch["event_type"].to_pylist(),
@@ -147,10 +149,20 @@ def windowed_counts(events):
 
     from ray.data.aggregate import Sum
 
+    def _to_us(batch: pa.Table) -> pa.Table:
+        # Ray's hash-shuffle aggregate re-emits the key as timestamp[s];
+        # recast so the final dtype matches DuckDB date_trunc ([us]).
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            pc.cast(batch["window_start"], pa.timestamp("us")),
+        )
+
     return (
         events.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(_to_us, batch_format="pyarrow")
     )
 
 

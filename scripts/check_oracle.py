@@ -2,10 +2,11 @@
 entry and its oracle_sql() side-by-side at sf0.01 (or --sf), compare
 row count, schema (column names), and order-insensitive values.
 
-The comparison here is STRICTER than a value hash: after sorting columns
-by name and rows by all columns, cell values must be exactly equal
-(floats compared bit-for-bit after the pipelines' own deterministic
-rounding). If this passes locally it passes in the driver.
+The comparison sorts columns by name and rows by all columns, then
+requires exact cell equality AND exact dtype equality (no dtype
+normalization — a DuckDB HUGEINT->float64 vs Ray int64 mismatch, or a
+timestamp[s] vs [us] mismatch, must FAIL here exactly as it fails the
+driver's value hash).
 
 Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [query ...]
 """
@@ -37,22 +38,16 @@ def to_pandas(result):
 
 
 def canon(df):
-    """Sort columns by name, rows by all columns; normalize dtypes."""
-    import numpy as np
+    """Sort columns by name, rows by all columns. NO dtype coercion:
+    dtypes are compared as-is so representation mismatches surface here."""
     import pandas as pd
 
     df = df.copy()
     df.columns = [str(c) for c in df.columns]
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
+        if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -99,6 +94,13 @@ def main():
         status = []
         if list(got.columns) != list(want.columns):
             status.append(f"schema ray={list(got.columns)} sql={list(want.columns)}")
+        elif not got.dtypes.equals(want.dtypes):
+            diff = {
+                c: (str(got.dtypes[c]), str(want.dtypes[c]))
+                for c in got.columns
+                if got.dtypes[c] != want.dtypes[c]
+            }
+            status.append(f"dtypes ray-vs-sql differ: {diff}")
         elif len(got) != len(want):
             status.append(f"rows ray={len(got)} sql={len(want)}")
         else:
