@@ -222,38 +222,67 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # verify: broadcast doc texts (at 100 TB this becomes a bucketed
-    # re-join on doc_id; here the doc set fits the object store). The
-    # verifier is an ACTOR stage so each worker computes a doc's shingle
-    # set at most once — candidate sets from low-similarity corpora can
-    # be quadratic-ish, and per-pair shingle recompute was the hot loop.
-    _t = collect_table(docs.select_columns(["doc_id", "text"]))
-    texts_ref = ray.put(dict(zip(_t["doc_id"].to_pylist(), _t["text"].to_pylist())))
+    # per-batch candidate dedup (no shuffle): catches same-block
+    # duplicates cheaply before the join ships any text
+    cand = cand.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
+    )
+
+    # verify: re-join candidate pairs to texts on doc_id (hash shuffle of
+    # ONLY the candidate docs' texts — the corpus itself is never
+    # materialized on the driver, so this path holds at 100 TB where the
+    # candidate set is a tiny fraction of the corpus). The verifier is an
+    # ACTOR stage with a per-worker shingle cache keyed by doc_id, so a
+    # doc appearing in many pairs is shingled once per worker.
+    texts = docs.select_columns(["doc_id", "text"])
+    num_partitions = max(4, concurrency * 2)
+    j1 = cand.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    # join1 hash-partitions by `a`, so every duplicate of a pair (a, b)
+    # (one per colliding LSH band) lands in the SAME partition — a
+    # whole-block drop_duplicates here is a global pair dedup with no
+    # extra shuffle (if a huge partition splits into several blocks the
+    # stragglers are still deduped in the final result; this pass only
+    # bounds join2's shuffle volume).
+    j1 = j1.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas", batch_size=None
+    )
+    j2 = j1.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
     thr = threshold
 
     class VerifyJaccard:
         def __init__(self):
-            self.texts = ray.get(texts_ref)
             self.cache: dict = {}
 
-        def _sh(self, doc_id):
+        def _sh(self, doc_id, text):
             s = self.cache.get(doc_id)
             if s is None:
-                s = word_shingles(self.texts[doc_id])
+                s = word_shingles(text)
                 self.cache[doc_id] = s
             return s
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             keep_a, keep_b, jac = [], [], []
-            for a, b in zip(df["a"], df["b"]):
-                j = jaccard(self._sh(a), self._sh(b))
+            for a, b, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
+                j = jaccard(self._sh(a, ta), self._sh(b, tb))
                 if j >= thr:
                     keep_a.append(a)
                     keep_b.append(b)
                     jac.append(floor_round(j, 6))
             return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
 
-    verified = cand.map_batches(
+    verified = j2.map_batches(
         VerifyJaccard, batch_format="pandas", batch_size=8192, concurrency=concurrency
     ).to_pandas()
     return (
@@ -269,49 +298,71 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
 
 
 class SimHashStage:
-    """64-bit token simhash per doc (deterministic md5 token hashes)."""
+    """64-bit token simhash per doc, vectorized per batch: every token in
+    the batch is hashed in one cythonized pass (pandas hash_array, fixed
+    key → deterministic across runs/processes), bits unpacked with a
+    single numpy broadcast, and per-doc ±1 bit sums computed with one
+    segment-reduce (tokens are emitted in doc order, so doc boundaries
+    are reduceat offsets). No per-token Python in the hot path."""
+
+    _BITPOS = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = np.zeros(len(batch), dtype=np.uint64)
         texts = batch["text"].to_pylist()
-        for i, t in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in (t or "").split():
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
-                )
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            out[i] = int(
-                sum(1 << k for k in range(64) if acc[k] > 0)
+        token_lists = [(t or "").split() for t in texts]
+        lens = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+        acc = np.zeros((len(texts), 64), dtype=np.int64)
+        if lens.sum() > 0:
+            flat = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
+            h = pd.util.hash_array(flat)  # uint64, deterministic default key
+            # (n_tokens, 64) 0/1 bit matrix as uint8 (unpackbits on the
+            # little-endian byte view: column k == bit k of the hash) —
+            # 64 bytes/token, no wide intermediate
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
             )
+            nonempty = lens > 0
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            set_counts = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
+            # ±1 sum = 2*set_bits - n_tokens
+            acc[nonempty] = 2 * set_counts.astype(np.int64) - lens[nonempty][:, None]
+        bits = (acc > 0).astype(np.uint64)
+        out = (bits << self._BITPOS).sum(axis=1, dtype=np.uint64)
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.uint64())})
 
 
 def simhash_table(docs, concurrency: int = 2):
-    return docs.map_batches(SimHashStage, batch_format="pyarrow", concurrency=concurrency)
+    # batch_size bounds the per-batch (n_tokens, 64) bit matrix
+    return docs.map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=concurrency, batch_size=1024
+    )
 
 
 def simhash_near_pairs(docs, max_hamming: int = 12, concurrency: int = 2):
-    """Near pairs by simhash hamming distance via 4×16-bit band blocking
-    (any pair within hamming<=12 shares >=1 exact 16-bit band whp for
-    clustered bits; exact hamming verified per candidate)."""
+    """Near pairs by simhash hamming distance via 4×16-bit band blocking.
+
+    Recall guarantee is exact only for hamming <= 3 (pigeonhole: 4 bands,
+    <=3 differing bits leaves >=1 band identical); above that the search
+    is approximate — pairs whose differing bits spread across all 4 bands
+    are missed. Exact hamming is verified per candidate, so precision is
+    exact. For guaranteed recall at larger radii use more/narrower bands
+    or multi-probe."""
     sig = simhash_table(docs, concurrency=concurrency)
 
+    _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
-        for did, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
-            for b in range(4):
-                ids.append(did)
-                bands.append(b)
-                keys.append(((h >> (16 * b)) & 0xFFFF) | (b << 16))
+        # vectorized band explode: each doc → 4 rows (band_key, simhash)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = np.arange(4, dtype=np.uint64)
+        keys = (((hs[:, None] >> (np.uint64(16) * b)) & np.uint64(0xFFFF)) | (b << np.uint64(16)))
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band_key": pa.array(keys, pa.int64()),
-                "simhash": pa.array(
-                    [h for h in batch["simhash"].to_pylist() for _ in range(4)], pa.uint64()
-                ),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                "simhash": pa.array(np.repeat(hs, 4), pa.uint64()),
             }
         )
 
@@ -322,12 +373,12 @@ def simhash_near_pairs(docs, max_hamming: int = 12, concurrency: int = 2):
         out_a, out_b, dist = [], [], []
         for i in range(len(ids)):
             x = np.bitwise_xor(hs[i], hs[i + 1 :])
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j, d in enumerate(ham):
-                if d <= max_hamming:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + j]))
-                    dist.append(int(d))
+            # byte-table popcount, no per-pair Python int conversion
+            ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            hit = np.nonzero(ham <= max_hamming)[0]
+            out_a.extend([int(ids[i])] * len(hit))
+            out_b.extend(int(ids[i + 1 + j]) for j in hit)
+            dist.extend(int(ham[j]) for j in hit)
         return pd.DataFrame({"a": out_a, "b": out_b, "hamming": dist})
 
     pairs = (
@@ -399,9 +450,12 @@ def ngram_jaccard_pairs(docs, threshold: float = 0.8, num_blocks: int = 4):
 def embedding_near_pairs(embeddings, threshold: float = 0.4):
     """Cosine >= threshold pairs (a<b) over an embedding column.
 
-    Broadcast the (normalized) matrix once via ray.put; each batch does
-    one float64 matmul against it — brute-force baseline (the IVF/LSH
-    bucketed variant lives in similarity.py).
+    SMALL-SCALE ORACLE BASELINE ONLY: collects the full embedding table
+    driver-side and broadcasts the normalized matrix (exact all-pairs,
+    DuckDB-checkable). This deliberately does NOT scale past what fits in
+    one object-store copy — at 100 TB use the LSH-bucketed pair
+    generation in similarity.lsh_bucketed_topk, whose corpus side
+    streams and whose buckets bound the pairwise work.
     """
     import ray
 

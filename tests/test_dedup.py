@@ -70,6 +70,41 @@ class TestNearDup:
         assert (1, 2) in got
         assert all(h <= 8 for h in pairs["hamming"])
 
+    def test_simhash_banded_vs_exact_allpairs(self, ray_session):
+        """Ground-truth check of the banded search: vs exact all-pairs
+        hamming on a 200-doc corpus, recall at hamming<=3 must be 100%
+        (pigeonhole guarantee of 4x16-bit bands) and every reported
+        pair's hamming must be exact and within the radius."""
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        words = [f"w{i}" for i in range(50)]
+        docs = []
+        for i in range(100):
+            base = list(rng.choice(words, size=30))
+            docs.append({"doc_id": 2 * i, "text": " ".join(base)})
+            mut = list(base)
+            mut[int(rng.randint(30))] = str(rng.choice(words))  # near-dup twin
+            docs.append({"doc_id": 2 * i + 1, "text": " ".join(mut)})
+        ds = ray.data.from_items(docs)
+
+        sig = dedup.simhash_table(ds).to_pandas().set_index("doc_id")["simhash"]
+        ids = sorted(sig.index)
+        exact = {}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin(int(sig[ids[x]]) ^ int(sig[ids[y]])).count("1")
+                exact[(ids[x], ids[y])] = h
+
+        out = dedup.simhash_near_pairs(ds, max_hamming=3).to_pandas()
+        got = {(int(r.a), int(r.b)): int(r.hamming) for r in out.itertuples()}
+        # precision: every reported hamming is the true hamming, <= radius
+        for pair, h in got.items():
+            assert exact[pair] == h and h <= 3
+        # recall: every true pair within hamming<=3 was found
+        truth = {p for p, h in exact.items() if h <= 3}
+        assert truth and truth == set(got)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddingNearDup:
