@@ -454,8 +454,8 @@ def embedding_near_pairs(embeddings, threshold: float = 0.4):
     driver-side and broadcasts the normalized matrix (exact all-pairs,
     DuckDB-checkable). This deliberately does NOT scale past what fits in
     one object-store copy — at 100 TB use the LSH-bucketed pair
-    generation in similarity.lsh_bucketed_topk, whose corpus side
-    streams and whose buckets bound the pairwise work.
+    generation in similarity.lsh_topk, whose corpus side streams and
+    whose buckets bound the pairwise work.
     """
     import ray
 

@@ -63,6 +63,52 @@ class TestChain:
         assert not kept_other["is_duplicate"].any()
 
 
+class TestNearDedupBanding:
+    def test_banded_equals_allpairs_marking(self):
+        """The SRP-banded stage must mark exactly the same duplicates as
+        the exact all-pairs (n×n) formulation of the reference rule on a
+        300-article group with injected near-dup clusters."""
+        import pandas as pd
+
+        rng = np.random.RandomState(42)
+        words = [f"tok{i}" for i in range(200)]
+        texts, modules = [], []
+        for i in range(100):
+            base = " ".join(rng.choice(words, size=40))
+            texts.append(base)
+            modules.append(f"mod_{i % 5}")
+            # a near-identical twin (one trailing word) and an unrelated doc
+            texts.append(base + " extra")
+            modules.append(f"mod_{(i + 1) % 5}")
+            texts.append(" ".join(rng.choice(words, size=40)))
+            modules.append(f"mod_{(i + 2) % 5}")
+        df = pd.DataFrame(
+            {"text": texts, "module": modules, "pubdate": ["2021-01-05"] * len(texts)}
+        )
+
+        got = pr.near_dedup_articles_stage(df.copy())["is_duplicate"].to_numpy()
+
+        # exact all-pairs reference formulation
+        vecs = np.stack([pr._bag_vector(t) for t in df["text"]]).astype(np.float32)
+        sizes = df["text"].str.len().to_numpy()
+        mods = df["module"].to_numpy()
+        sims = vecs @ vecs.T
+        cand = np.argwhere(np.triu(sims >= 0.99, k=1))
+        dup_of = np.full(len(df), -1, dtype=np.int64)
+        for i, j in cand:
+            if dup_of[i] >= 0 or dup_of[j] >= 0 or mods[i] == mods[j]:
+                continue
+            big, small = max(sizes[i], sizes[j]), min(sizes[i], sizes[j])
+            if big == 0 or (big - small) > 0.15 * big:
+                continue
+            loser = i if sizes[i] < sizes[j] else j
+            dup_of[loser] = j if loser == i else i
+        want = dup_of >= 0
+
+        assert want.sum() > 50  # the injected twins were actually caught
+        assert (got == want).all()
+
+
 class TestSentimentUnit:
     def test_batch_shapes(self):
         stage = pr.SentimentStage()
