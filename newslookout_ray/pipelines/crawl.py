@@ -98,6 +98,10 @@ class CrawlConfig:
     extract_batch_size: int = 256
     seen_filter_concurrency: int = 2
     join_partitions: int = 8
+    #: selected sets up to this many rows use the broadcast semi-join
+    #: fetch (no shuffle); larger frontiers switch to a distributed
+    #: LEFT OUTER Dataset.join on url and never touch the driver
+    broadcast_limit: int = 200_000
     metrics_partitions: int = 8
     profile: SiteProfile = field(default_factory=lambda: DEFAULT_PROFILE)
 
@@ -327,7 +331,11 @@ _CP_CACHE: dict = {}
 _BCAST_CACHE: dict = {}
 
 
-def _cached_sel_map(sel_ref) -> dict:
+def _cached_sel_map(sel_ref):
+    """Per-worker deserialized view of the broadcast selected table:
+    (column pylists, url → row index). Building column lists + one flat
+    index dict is ~10× cheaper than materializing a dict-of-dicts per
+    row, and the build runs once per worker per round."""
     import ray
 
     key = sel_ref.hex() if hasattr(sel_ref, "hex") else id(sel_ref)
@@ -335,10 +343,8 @@ def _cached_sel_map(sel_ref) -> dict:
     if cached is None:
         table = ray.get(sel_ref)
         cols = {name: table[name].to_pylist() for name in table.schema.names}
-        cached = {
-            url: {name: cols[name][i] for name in cols}
-            for i, url in enumerate(cols["url"])
-        }
+        idx = {url: i for i, url in enumerate(cols["url"])}
+        cached = (cols, idx)
         _BCAST_CACHE.clear()  # one live round at a time
         _BCAST_CACHE[key] = cached
     return cached
@@ -368,14 +374,15 @@ def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
     def stage(batch: pa.Table) -> pa.Table:
         from .fetchsim import simulate_status as _status
 
-        sel = _cached_sel_map(sel_ref)
+        sel_cols, sel_idx = _cached_sel_map(sel_ref)
         cp = _compiled(profile)
         urls = batch["url"].to_pylist()
         out = {name: [] for name, _ in ARTICLE_FIELDS}
         for i, url in enumerate(urls):
-            row = sel.get(url)
-            if row is None:
+            ri = sel_idx.get(url)
+            if ri is None:
                 continue
+            row = {name: col[ri] for name, col in sel_cols.items()}
             status = _status(url, status_seed, is_hub=profile.is_hub(url))
             if status != 200:
                 rec = {"state": STATE_ERROR, "links": [], "title": "", "text": "",
@@ -398,8 +405,40 @@ def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
             out["depth"].append(row["depth"])
             out["order_in_host"].append(row["order_in_host"])
             out["status"].append(status)
+            out["birth_round"].append(row["birth_round"])
+            out["attempts"].append(row["attempts"])
         arrays = [pa.array(out[name], type=typ) for name, typ in ARTICLE_FIELDS]
         return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
+
+    return stage
+
+
+def make_fetch_extract_joined(profile: SiteProfile, status_seed: int, now):
+    """Join-path variant of the fused fetch+extract: input rows come from
+    ``selected LEFT OUTER JOIN pages ON url`` (html is NULL for urls with
+    no page on "the web" → status-404 error rows), so no broadcast map
+    and no driver-side missing-url bookkeeping is needed. Used when the
+    selected set is too large to broadcast (see CrawlConfig.broadcast_limit)."""
+    from ..stages.extract import PageExtractor
+
+    def stage(batch: pa.Table) -> pa.Table:
+        from .fetchsim import simulate_status as _status
+
+        key = ("extractor", profile)
+        ex = _CP_CACHE.get(key)
+        if ex is None:
+            ex = PageExtractor(profile, now=now)
+            _CP_CACHE[key] = ex
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        status = pa.array(
+            [
+                404 if h is None else _status(u, status_seed, is_hub=profile.is_hub(u))
+                for u, h in zip(urls, htmls)
+            ],
+            pa.int16(),
+        )
+        return ex(batch.append_column("status", status))
 
     return stage
 
@@ -427,115 +466,123 @@ def _missing_rows_table(missing_urls, sel_rows, module: str) -> pa.Table:
         cols["depth"].append(row["depth"])
         cols["order_in_host"].append(row["order_in_host"])
         cols["status"].append(404)
+        cols["birth_round"].append(row["birth_round"])
+        cols["attempts"].append(row["attempts"])
     arrays = [pa.array(cols[name], type=typ) for name, typ in ARTICLE_FIELDS]
     return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# fetch simulation (join against the pages corpus)
+# the fused round sink: write + mark-seen + metrics + link explode in ONE
+# consumer execution of the extract stream
 # ---------------------------------------------------------------------------
 
 
-def fetch_join(pages_path: str, cfg: CrawlConfig, sel_rows: dict):
-    """Join the selected frontier with the pages corpus on url — the
-    fetch itself.
+class _RoundCollector:
+    """Tiny per-round actor accumulating (a) per-batch metric partials and
+    (b) the matched url lists (broadcast path's missing-url detection).
+    Entries are keyed by the batch's content fingerprint, so Ray task
+    retries overwrite rather than double-count."""
 
-    The politeness budget bounds the selected set to hosts × budget rows,
-    so the scale-right join is a BROADCAST semi-join: the selected rows
-    ship once via the object store, the bucket-pruned pages stream
-    through one map stage (no hash-shuffle, no aggregator actors), and
-    each batch emits its matches. URLs with no page on "the web" are
-    appended afterwards as status-404 rows. (A frontier too large to
-    broadcast would switch to Dataset.join — per-round frontiers are
-    budget-bounded by construction, like the reference's per-cycle fetch
-    budget, queue_manager.py:141-146.)
+    def __init__(self):
+        self.metrics: dict = {}
+        self.matched: dict = {}
 
-    ``sel_rows``: url → frontier-row dict (driver-held, small).
-    """
-    import ray
-    import ray.data
+    def add(self, fp: str, metrics_df, urls) -> bool:
+        self.metrics[fp] = metrics_df
+        self.matched[fp] = urls
+        return True
 
-    buckets = {url_hash64(u) % cfg.n_page_buckets for u in sel_rows}
-    pages = ray.data.read_parquet(
-        pages_path,
-        columns=["url", "html"],
-        filter=pc.field("b").isin(sorted(int(b) for b in buckets)),
+    def results(self):
+        urls = [u for v in self.matched.values() for u in v]
+        return list(self.metrics.values()), urls
+
+
+def _partial_metrics_df(batch: pa.Table, parts: int) -> pd.DataFrame:
+    """Per-(url-hash-partition, host) partial aggregates for one batch."""
+    hashes = url_hash64_batch(batch["url"].to_pylist())
+    part = (hashes % np.uint64(parts)).astype(np.int32)
+    df = pd.DataFrame(
+        {
+            "partition": part,
+            "host": batch["host"].to_pylist(),
+            "state": batch["state"].to_numpy(),
+            "raw_size": batch["raw_size"].to_numpy(),
+        }
     )
-    sel_ref = ray.put(sel_rows)
-    profile, seed = cfg.profile, cfg.status_seed
-    carry = ["host", "birth_round", "pseq", "lidx", "depth", "attempts", "order_in_host"]
+    return (
+        df.groupby(["partition", "host"])
+        .agg(
+            fetched=("state", "size"),
+            errors_permanent=("state", lambda s: int((s == STATE_ERROR).sum())),
+            articles_out=("state", lambda s: int((s == STATE_ARTICLE).sum())),
+            bytes_html=("raw_size", "sum"),
+        )
+        .reset_index()
+    )
 
-    def match_stage(batch: pa.Table) -> pa.Table:
-        sel = ray.get(sel_ref)
+
+def make_sink_stage(actors, collector, fetched_dir: str, r: int, parts: int):
+    """ONE consumer stage over the extract stream that per block:
+      1. writes the block (minus links) as a parquet shard — filename is
+         the block's content fingerprint, so task retries overwrite
+         idempotently instead of duplicating rows;
+      2. marks the fetched urls seen (idempotent shard-actor RPCs);
+      3. ships a per-(partition, host) metric partial + the matched url
+         list to the round collector (fingerprint-keyed, retry-safe);
+      4. emits the exploded link rows (FRONTIER_SCHEMA) as its output —
+         the next frontier's "born this round" stream.
+    Folding what were four separate dataset executions (write, mark,
+    metrics, explode) into the single fetch+extract execution."""
+    import hashlib
+
+    def stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {n: pa.array([], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
+        )
+        if batch.num_rows == 0:
+            return empty
+        import ray
+
         urls = batch["url"].to_pylist()
-        idx = [i for i, u in enumerate(urls) if u in sel]
-        out = {"url": [], "html": [], "status": []}
-        for c in carry:
-            out[c] = []
-        for i in idx:
-            u = urls[i]
-            row = sel[u]
-            out["url"].append(u)
-            out["html"].append(batch["html"][i].as_py())
-            out["status"].append(simulate_status(u, seed, is_hub=profile.is_hub(u)))
-            for c in carry:
-                out[c].append(row[c])
+        fp = hashlib.sha1("\n".join(urls).encode("utf-8")).hexdigest()[:16]
+
+        # 1. parquet shard (atomic, deterministic name)
+        path = os.path.join(fetched_dir, f"part-{fp}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(batch.drop_columns(["links"]), tmp)
+        os.replace(tmp, path)
+
+        # 2. seen marking
+        states = batch["state"].to_numpy()
+        SeenSetClient(actors).add_many(url_hash64_batch(urls), urls, states, r)
+
+        # 3. metrics + matched urls (block until the actor records them —
+        #    the driver reads the collector right after the execution)
+        ray.get(collector.add.remote(fp, _partial_metrics_df(batch, parts), urls))
+
+        # 4. link explode → next-round frontier rows
+        out = {n: [] for n in FRONTIER_SCHEMA.names}
+        links_col = batch["links"].to_pylist()
+        orders = batch["order_in_host"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        for i, links in enumerate(links_col):
+            if not links:
+                continue
+            for j, link in enumerate(links):
+                url = link.lower()
+                out["url"].append(url)
+                out["host"].append(get_host(url))
+                out["birth_round"].append(r + 1)
+                out["pseq"].append(orders[i])
+                out["lidx"].append(j)
+                out["depth"].append(depths[i] + 1)
+                out["attempts"].append(0)
         return pa.table(
-            {
-                "url": pa.array(out["url"], pa.string()),
-                "host": pa.array(out["host"], pa.string()),
-                "birth_round": pa.array(out["birth_round"], pa.int32()),
-                "pseq": pa.array(out["pseq"], pa.int64()),
-                "lidx": pa.array(out["lidx"], pa.int64()),
-                "depth": pa.array(out["depth"], pa.int32()),
-                "attempts": pa.array(out["attempts"], pa.int32()),
-                "order_in_host": pa.array(out["order_in_host"], pa.int64()),
-                "html": pa.array(out["html"], pa.binary()),
-                "status": pa.array(out["status"], pa.int16()),
-            }
+            {n: pa.array(out[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
         )
 
-    matched = pages.map_batches(match_stage, batch_format="pyarrow").materialize()
-    matched_urls = set(
-        collect_table(matched.select_columns(["url"]))["url"].to_pylist()
-    )
-    missing = [u for u in sel_rows if u not in matched_urls]
-    if missing:
-        rows = []
-        for u in missing:
-            row = sel_rows[u]
-            rows.append(
-                {
-                    "url": u,
-                    "host": row["host"],
-                    "birth_round": row["birth_round"],
-                    "pseq": row["pseq"],
-                    "lidx": row["lidx"],
-                    "depth": row["depth"],
-                    "attempts": row["attempts"],
-                    "order_in_host": row["order_in_host"],
-                    "html": None,
-                    "status": 404,
-                }
-            )
-        missing_ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "url": pa.array([r["url"] for r in rows], pa.string()),
-                    "host": pa.array([r["host"] for r in rows], pa.string()),
-                    "birth_round": pa.array([r["birth_round"] for r in rows], pa.int32()),
-                    "pseq": pa.array([r["pseq"] for r in rows], pa.int64()),
-                    "lidx": pa.array([r["lidx"] for r in rows], pa.int64()),
-                    "depth": pa.array([r["depth"] for r in rows], pa.int32()),
-                    "attempts": pa.array([r["attempts"] for r in rows], pa.int32()),
-                    "order_in_host": pa.array([r["order_in_host"] for r in rows], pa.int64()),
-                    "html": pa.array([None] * len(rows), pa.binary()),
-                    "status": pa.array([404] * len(rows), pa.int16()),
-                }
-            )
-        )
-        matched = matched.union(missing_ds)
-    return matched
+    return stage
 
 
 # ---------------------------------------------------------------------------
@@ -660,6 +707,8 @@ class CrawlRun:
         return summary
 
     def _run_round(self, r: int) -> dict:
+        import shutil
+
         import ray
         import ray.data
 
@@ -672,12 +721,19 @@ class CrawlRun:
             stage_sec[name] = round(now - since[0], 3)
             since[0] = now
 
+        # wipe stale outputs of a crashed prior attempt of this round
+        # (manifest-last: no manifest ⇒ the round's files are garbage)
+        fetched_dir = os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}")
+        shutil.rmtree(fetched_dir, ignore_errors=True)
+        os.makedirs(fetched_dir, exist_ok=True)
+        shutil.rmtree(_frontier_dir(cfg, r + 1), ignore_errors=True)
+
         frontier = self._read_frontier(r)
 
-        # ONE shuffle: seen/robots filter (lazy tasks) feeds the fused
-        # dedup + politeness split, which emits selected AND deferred
-        # rows together; materialized once (frozen before this round's
-        # fetches mutate the seen set).
+        # Execution 1 — ONE shuffle: seen/robots filter (lazy tasks) feeds
+        # the fused dedup + politeness split, which emits selected AND
+        # deferred rows together; materialized once (frozen before this
+        # round's fetches mutate the seen set).
         unseen = frontier.map_batches(
             make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
         )
@@ -686,103 +742,119 @@ class CrawlRun:
         ).materialize()
         _mark("politeness")
 
-        selected_tbl = collect_table(
-            split.map_batches(
-                lambda t: t.filter(t["selected"]), batch_format="pyarrow"
-            )
+        selected = split.map_batches(
+            lambda t: t.filter(t["selected"]).drop_columns(["selected"]),
+            batch_format="pyarrow",
         )
-        sel_count = selected_tbl.num_rows
-        sel_rows = {
-            row["url"]: row for row in selected_tbl.to_pylist()
-        }
-        # broadcast the Arrow table (plasma-shared), not the python dict —
-        # workers build their lookup once via the process-level cache
-        sel_ref = ray.put(selected_tbl)
         deferred = split.map_batches(
             lambda t: t.filter(pc.invert(t["selected"])).drop_columns(
                 ["selected", "order_in_host"]
             ),
             batch_format="pyarrow",
         )
-        _mark("collect_selected")
 
-        # fused fetch + extract: bucket-pruned pages stream through one
-        # stateless task stage (broadcast selected map; compiled profile
-        # cached per worker process — no per-round actor pool)
-        buckets = sorted({url_hash64(u) % cfg.n_page_buckets for u in sel_rows})
-        pages = ray.data.read_parquet(
-            self.pages_path,
-            columns=["url", "html"],
-            filter=pc.field("b").isin(buckets),
-        )
-        extracted = pages.map_batches(
-            make_fetch_extract(sel_ref, cfg.profile, cfg.status_seed, REFERENCE_NOW),
-            batch_format="pyarrow",
-            batch_size=cfg.extract_batch_size,
-        ).materialize()
-        matched_urls = set(
-            collect_table(extracted.select_columns(["url"]))["url"].to_pylist()
-        )
-        missing = [u for u in sel_rows if u not in matched_urls]
-        if missing:
-            extracted = extracted.union(
-                ray.data.from_arrow(
-                    _missing_rows_table(missing, sel_rows, cfg.profile.name)
-                )
-            ).materialize()
-        _mark("fetch_extract")
+        # Broadcast vs hash-join fetch path, switched on selected-set
+        # size: limit(N+1)+collect ships at most N+1 rows to the driver,
+        # so an over-limit frontier never materializes driver-side.
+        probe = collect_table(selected.limit(cfg.broadcast_limit + 1))
+        broadcast = probe.num_rows <= cfg.broadcast_limit
+        collector = ray.remote(num_cpus=0)(_RoundCollector).remote()
+        sel_rows: dict = {}
 
-        # ONE sink: the full extract table (fetched + articles view) —
-        # articles are the state==1 rows, read back with a filter
-        # (read_articles below); the separate articles directory was a
-        # second full execution per round
-        extracted.drop_columns(["links"]).write_parquet(
-            os.path.join(cfg.checkpoint_dir, "fetched", f"round={r}")
-        )
-        _mark("writes")
-
-        # next frontier: deferred ∪ links born this round. The explode
-        # pass ALSO marks fetched urls seen (idempotent per-batch RPCs to
-        # the shard actors — safe under task retries), folding what was a
-        # separate full pass into this one.
-        actors = self.actors
-
-        def explode_links_and_mark(batch: pa.Table) -> pa.Table:
-            urls = batch["url"].to_pylist()
-            states = batch["state"].to_numpy()
-            SeenSetClient(actors).add_many(url_hash64_batch(urls), urls, states, r)
-            out = {n: [] for n in FRONTIER_SCHEMA.names}
-            links_col = batch["links"].to_pylist()
-            orders = batch["order_in_host"].to_pylist()
-            depths = batch["depth"].to_pylist()
-            for i, links in enumerate(links_col):
-                if not links:
-                    continue
-                for j, link in enumerate(links):
-                    url = link.lower()
-                    out["url"].append(url)
-                    out["host"].append(get_host(url))
-                    out["birth_round"].append(r + 1)
-                    out["pseq"].append(orders[i])
-                    out["lidx"].append(j)
-                    out["depth"].append(depths[i] + 1)
-                    out["attempts"].append(0)
-            return pa.table(
-                {n: pa.array(out[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
+        if broadcast:
+            selected_tbl = probe
+            sel_count = selected_tbl.num_rows
+            sel_rows = {row["url"]: row for row in selected_tbl.to_pylist()}
+            # broadcast the Arrow table (plasma-shared), not the python
+            # dict — workers build their lookup once per process
+            sel_ref = ray.put(selected_tbl)
+            buckets = sorted({int(url_hash64(u) % cfg.n_page_buckets) for u in sel_rows})
+            pages = ray.data.read_parquet(
+                self.pages_path,
+                columns=["url", "html"],
+                filter=pc.field("b").isin(buckets),
             )
+            extracted = pages.map_batches(
+                make_fetch_extract(sel_ref, cfg.profile, cfg.status_seed, REFERENCE_NOW),
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+            )
+        else:
+            # hash-join path: the selected frontier stays distributed.
+            # Bucket pruning still applies — the distinct bucket set is
+            # tiny (≤ n_page_buckets) however large the frontier.
+            n_buckets = cfg.n_page_buckets
 
-        new_links = extracted.map_batches(explode_links_and_mark, batch_format="pyarrow")
+            def batch_buckets(t: pa.Table) -> pa.Table:
+                b = np.unique(
+                    url_hash64_batch(t["url"].to_pylist()) % np.uint64(n_buckets)
+                )
+                return pa.table({"b": pa.array(b.astype(np.int64), pa.int64())})
+
+            buckets = sorted(
+                set(
+                    collect_table(
+                        selected.map_batches(batch_buckets, batch_format="pyarrow")
+                    )["b"].to_pylist()
+                )
+            )
+            pages = ray.data.read_parquet(
+                self.pages_path,
+                columns=["url", "html"],
+                filter=pc.field("b").isin(buckets),
+            )
+            joined = selected.join(
+                pages,
+                join_type="left_outer",
+                num_partitions=cfg.join_partitions,
+                on=("url",),
+            )
+            extracted = joined.map_batches(
+                make_fetch_extract_joined(cfg.profile, cfg.status_seed, REFERENCE_NOW),
+                batch_format="pyarrow",
+                batch_size=cfg.extract_batch_size,
+            )
+            sel_count = None  # derived from metric partials below
+        _mark("select")
+
+        # Execution 2 — the fused round body: pages stream → fetch+extract
+        # → sink (parquet shard + seen-mark + metrics partial + link
+        # explode) → union deferred → next-frontier parquet. ONE streaming
+        # execution end to end.
+        links = extracted.map_batches(
+            make_sink_stage(self.actors, collector, fetched_dir, r, cfg.metrics_partitions),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         next_frontier = deferred.select_columns(FRONTIER_SCHEMA.names).union(
-            new_links.select_columns(FRONTIER_SCHEMA.names)
+            links.select_columns(FRONTIER_SCHEMA.names)
         )
         self._write_frontier(next_frontier, r + 1)
-        _mark("next_frontier_mark_seen")
+        _mark("fetch_extract_sink")
 
-        # lineage metrics: one row per url-hash partition (also yields the
-        # round's article/error totals)
-        n_articles, n_errors = self._write_metrics(extracted, r, time.time() - t0)
+        partials, matched_urls = ray.get(collector.results.remote())
+        if broadcast:
+            # selected urls with no page on "the web" → status-404 rows,
+            # handled entirely driver-side (they produce no links)
+            matched = set(matched_urls)
+            missing = [u for u in sel_rows if u not in matched]
+            if missing:
+                tbl = _missing_rows_table(missing, sel_rows, cfg.profile.name)
+                pq.write_table(
+                    tbl.drop_columns(["links"]),
+                    os.path.join(fetched_dir, "part-missing.parquet"),
+                )
+                self.client.add_many(
+                    url_hash64_batch(missing), missing, tbl["state"].to_numpy(), r
+                )
+                partials.append(_partial_metrics_df(tbl, cfg.metrics_partitions))
+        else:
+            sel_count = int(sum(p["fetched"].sum() for p in partials)) if partials else 0
+        _mark("missing")
 
-        # seen snapshots then manifest (LAST — presence ⇒ round complete)
+        # lineage metrics roll-up (driver-side over the tiny partials),
+        # seen snapshots, then manifest (LAST — presence ⇒ round complete)
+        n_articles, n_errors = self._finalize_metrics(partials, r, time.time() - t0)
         self.client.snapshot_all(os.path.join(cfg.checkpoint_dir, "seen"), r)
         _mark("metrics_snapshot")
         stats = {
@@ -798,34 +870,20 @@ class CrawlRun:
         os.replace(_manifest_path(cfg, r) + ".tmp", _manifest_path(cfg, r))
         return stats
 
-    def _write_metrics(self, extracted, r: int, wall: float) -> tuple:
+    def _finalize_metrics(self, partials: list, r: int, wall: float) -> tuple:
+        """Roll the sink's per-block partials into one row per url-hash
+        partition. Partials are per-(partition, host), so host_count is
+        exact; at extreme host cardinality switch the sink to
+        partition-level partials and drop exact host_count."""
         cfg = self.cfg
-        parts = cfg.metrics_partitions
-
-        def part_metrics(batch: pa.Table) -> pa.Table:
-            # combiner: partial aggregates per (partition, host); the tiny
-            # roll-up below makes host_count exact (no nunique-of-partials)
-            hashes = url_hash64_batch(batch["url"].to_pylist())
-            part = (hashes % np.uint64(parts)).astype(np.int32)
-            df = pd.DataFrame(
-                {
-                    "partition": part,
-                    "host": batch["host"].to_pylist(),
-                    "state": batch["state"].to_numpy(),
-                    "raw_size": batch["raw_size"].to_numpy(),
-                }
-            )
-            g = df.groupby(["partition", "host"]).agg(
-                fetched=("state", "size"),
-                errors_permanent=("state", lambda s: int((s == STATE_ERROR).sum())),
-                articles_out=("state", lambda s: int((s == STATE_ARTICLE).sum())),
-                bytes_html=("raw_size", "sum"),
-            )
-            return pa.Table.from_pandas(g.reset_index())
-
-        partials = extracted.map_batches(part_metrics, batch_format="pyarrow").to_pandas()
-        if len(partials):
-            by_host = partials.groupby(["partition", "host"], as_index=False).sum()
+        cols = ["partition", "host", "fetched", "errors_permanent", "articles_out", "bytes_html"]
+        allp = (
+            pd.concat(partials, ignore_index=True)
+            if partials
+            else pd.DataFrame(columns=cols)
+        )
+        if len(allp):
+            by_host = allp.groupby(["partition", "host"], as_index=False).sum()
             rolled = by_host.groupby("partition", as_index=False).agg(
                 host_count=("host", "nunique"),
                 fetched=("fetched", "sum"),
@@ -834,7 +892,10 @@ class CrawlRun:
                 bytes_html=("bytes_html", "sum"),
             )
         else:
-            rolled = partials
+            rolled = pd.DataFrame(
+                columns=["partition", "host_count", "fetched", "errors_permanent",
+                         "articles_out", "bytes_html"]
+            )
         rolled["round"] = np.int32(r)
         rolled["wall_ms"] = int(wall * 1000)
         out_dir = os.path.join(cfg.checkpoint_dir, "metrics", f"round={r}")

@@ -128,6 +128,10 @@ ARTICLE_FIELDS = [
     ("depth", pa.int32()),
     ("order_in_host", pa.int64()),
     ("status", pa.int16()),
+    # frontier provenance carried through so transient-retry rows can be
+    # re-enqueued with their ORIGINAL order key and attempt count
+    ("birth_round", pa.int32()),
+    ("attempts", pa.int32()),
 ]
 EXTRACT_SCHEMA = pa.schema(ARTICLE_FIELDS)
 
@@ -177,5 +181,11 @@ class PageExtractor:
             out["depth"].append(batch["depth"][i].as_py())
             out["order_in_host"].append(batch["order_in_host"][i].as_py())
             out["status"].append(statuses[i])
+            out["birth_round"].append(
+                batch["birth_round"][i].as_py() if "birth_round" in batch.column_names else 0
+            )
+            out["attempts"].append(
+                batch["attempts"][i].as_py() if "attempts" in batch.column_names else 0
+            )
         arrays = [pa.array(out[name], type=typ) for name, typ in ARTICLE_FIELDS]
         return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)

@@ -79,6 +79,30 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url  # byte-identical contract
 
+    def test_join_path_matches_simulator(self, corpus):
+        """Force the distributed hash-join fetch (broadcast_limit=0): the
+        selected frontier is never collected on the driver, and the
+        LEFT OUTER join must reproduce the exact same order/seen/articles
+        as the broadcast path and the sequential simulator."""
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "joinpath"), rounds=3)
+        cfg.broadcast_limit = 0
+        run_crawl(pages, SPEC, cfg)
+
+        sim = simulate_crawl(SPEC, cfg)
+        got = read_crawl_order(cfg)
+        got_t = sorted(
+            tuple(x)
+            for x in got[["host", "round", "order_in_host", "url", "state", "status"]]
+            .itertuples(index=False)
+        )
+        assert got_t == sorted(sim.order)
+        assert _read_seen(cfg.checkpoint_dir) == sim.seen
+        arts = _read_articles(cfg.checkpoint_dir)
+        assert set(arts) == set(sim.articles)
+        for url, text in arts.items():
+            assert text == sim.articles[url], url
+
     def test_robots_enforced(self, corpus):
         from newslookout_ray.functions.robotskit import is_allowed, parse_robots
         from newslookout_ray.sources.pages import host_name, robots_body
