@@ -522,19 +522,29 @@ def _partial_metrics_df(batch: pa.Table, parts: int) -> pd.DataFrame:
     )
 
 
-def make_sink_stage(actors, collector, fetched_dir: str, r: int, parts: int):
+def make_sink_stage(
+    actors, collector, fetched_dir: str, r: int, parts: int, max_attempts: int
+):
     """ONE consumer stage over the extract stream that per block:
       1. writes the block (minus links) as a parquet shard — filename is
          the block's content fingerprint, so task retries overwrite
          idempotently instead of duplicating rows;
-      2. marks the fetched urls seen (idempotent shard-actor RPCs);
+      2. marks the fetched urls seen (idempotent shard-actor RPCs) —
+         EXCEPT transient-status rows still under the attempt cap, which
+         re-enter the frontier with attempts+1 instead (the reference's
+         pending_urls re-attempt semantics, session_hist.py:114);
       3. ships a per-(partition, host) metric partial + the matched url
          list to the round collector (fingerprint-keyed, retry-safe);
-      4. emits the exploded link rows (FRONTIER_SCHEMA) as its output —
-         the next frontier's "born this round" stream.
+      4. emits the exploded link rows PLUS the transient-retry rows
+         (FRONTIER_SCHEMA) as its output — the next frontier's
+         "born this round" stream.
     Folding what were four separate dataset executions (write, mark,
     metrics, explode) into the single fetch+extract execution."""
     import hashlib
+
+    from .fetchsim import TRANSIENT_STATUSES
+
+    transient_list = sorted(TRANSIENT_STATUSES)
 
     def stage(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -553,15 +563,24 @@ def make_sink_stage(actors, collector, fetched_dir: str, r: int, parts: int):
         pq.write_table(batch.drop_columns(["links"]), tmp)
         os.replace(tmp, path)
 
-        # 2. seen marking
+        # 2. seen marking — transient rows under the attempt cap stay
+        #    UNSEEN so the next round can re-fetch them
         states = batch["state"].to_numpy()
-        SeenSetClient(actors).add_many(url_hash64_batch(urls), urls, states, r)
+        statuses = batch["status"].to_numpy()
+        attempts = batch["attempts"].to_numpy()
+        retryable = np.isin(statuses, transient_list) & (attempts + 1 <= max_attempts)
+        keep = ~retryable
+        if keep.any():
+            kept_urls = [u for u, k in zip(urls, keep) if k]
+            SeenSetClient(actors).add_many(
+                url_hash64_batch(kept_urls), kept_urls, states[keep], r
+            )
 
         # 3. metrics + matched urls (block until the actor records them —
         #    the driver reads the collector right after the execution)
         ray.get(collector.add.remote(fp, _partial_metrics_df(batch, parts), urls))
 
-        # 4. link explode → next-round frontier rows
+        # 4. link explode + transient retries → next-round frontier rows
         out = {n: [] for n in FRONTIER_SCHEMA.names}
         links_col = batch["links"].to_pylist()
         orders = batch["order_in_host"].to_pylist()
@@ -578,6 +597,21 @@ def make_sink_stage(actors, collector, fetched_dir: str, r: int, parts: int):
                 out["lidx"].append(j)
                 out["depth"].append(depths[i] + 1)
                 out["attempts"].append(0)
+        if retryable.any():
+            hosts = batch["host"].to_pylist()
+            births = batch["birth_round"].to_pylist()
+            pseqs = batch["pseq"].to_pylist()
+            lidxs = batch["lidx"].to_pylist()
+            for i in np.nonzero(retryable)[0]:
+                # keep the ORIGINAL order key → the retry sorts ahead of
+                # younger urls in the next round's per-host FIFO
+                out["url"].append(urls[i])
+                out["host"].append(hosts[i])
+                out["birth_round"].append(births[i])
+                out["pseq"].append(pseqs[i])
+                out["lidx"].append(lidxs[i])
+                out["depth"].append(depths[i])
+                out["attempts"].append(int(attempts[i]) + 1)
         return pa.table(
             {n: pa.array(out[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
         )
@@ -822,7 +856,10 @@ class CrawlRun:
         # explode) → union deferred → next-frontier parquet. ONE streaming
         # execution end to end.
         links = extracted.map_batches(
-            make_sink_stage(self.actors, collector, fetched_dir, r, cfg.metrics_partitions),
+            make_sink_stage(
+                self.actors, collector, fetched_dir, r,
+                cfg.metrics_partitions, cfg.max_pending_attempts,
+            ),
             batch_format="pyarrow",
             batch_size=None,
         )

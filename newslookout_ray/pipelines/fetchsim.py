@@ -3,9 +3,10 @@
 The sandbox has no network; "the web" is the pages Parquet table and
 HTTP outcomes are a pure function of (seed, url), reproducing the
 reference's error-classification semantics (network.py:57-68):
-permanent statuses {400,401,403,404,405,410,451} are never retried;
-transient ones exhaust the in-process retry loop and end up recorded as
-failed (session_hist FAILED_URLS → part of the seen set).
+permanent statuses {400,401,403,404,405,410,451} are never retried and
+enter the seen set immediately; transient ones (429/5xx) re-enter the
+frontier with attempts+1 (pending_urls re-attempt semantics) and are
+only retired into the seen set as errors once attempts exceed the cap.
 
 Hub/front pages always succeed so every host's crawl tree is reachable —
 the interesting error mix lands on article fetches.
@@ -41,3 +42,15 @@ def simulate_status(url: str, seed: int, is_hub: bool = False) -> int:
 
 def is_permanent(status: int) -> bool:
     return status in PERMANENT_STATUSES
+
+
+#: transient failures re-enter the frontier with attempts+1 instead of
+#: being marked seen — the reference's pending_urls re-attempt semantics
+#: (session_hist.py:114 attempts counter, network.py:222-304 retry
+#: classification); only when attempts exceed the cap is the url retired
+#: into the seen set as an error.
+TRANSIENT_STATUSES = frozenset({429, 500, 502, 503, 504})
+
+
+def is_transient(status: int) -> bool:
+    return status in TRANSIENT_STATUSES

@@ -116,6 +116,8 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
                     deferred.append(c)
 
         # ---- fetch + extract
+        from .fetchsim import is_transient
+
         new_links = []
         for host, order, c in selected:
             url = c["url"]
@@ -131,6 +133,12 @@ def simulate_crawl(spec: PagesSpec, cfg: CrawlConfig, web: dict | None = None) -
                 rec = process_fetched_page(cp, url, html, now=REFERENCE_NOW)
                 state = rec["state"]
             res.order.append((host, r, order, url, state, status))
+            # transient failure under the attempt cap: NOT seen — re-enter
+            # the frontier with attempts+1 and the original order key
+            # (pending_urls re-attempt semantics, session_hist.py:114)
+            if is_transient(status) and c["attempts"] + 1 <= cfg.max_pending_attempts:
+                new_links.append(dict(c, attempts=c["attempts"] + 1))
+                continue
             res.seen[url] = state
             if state == STATE_ARTICLE:
                 res.articles[url] = rec["text"]

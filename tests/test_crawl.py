@@ -103,6 +103,31 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url
 
+    def test_transient_retry_semantics(self, corpus):
+        """429/5xx fetches re-enter the frontier with attempts+1 instead
+        of being marked seen; they are re-fetched in a later round and
+        only retired into the seen set after the attempt cap."""
+        from newslookout_ray.pipelines.fetchsim import is_transient
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "eq"), rounds=3)  # reuse prior run
+        got = read_crawl_order(cfg)
+        transient = got[[is_transient(s) for s in got["status"]]]
+        assert len(transient), "corpus produced no transient statuses"
+        seen = _read_seen(cfg.checkpoint_dir)
+        by_url = transient.groupby("url")
+        refetched = 0
+        for url, grp in by_url:
+            rounds = sorted(grp["round"])
+            if len(rounds) > 1:
+                refetched += 1
+                assert rounds == sorted(set(rounds))  # once per round max
+            # a transient url is seen only if it exhausted its attempts
+            # within the horizon; if seen, its state is error (2)
+            if url in seen:
+                assert seen[url] == 2
+        assert refetched > 0, "no transient url was actually re-fetched"
+
     def test_robots_enforced(self, corpus):
         from newslookout_ray.functions.robotskit import is_allowed, parse_robots
         from newslookout_ray.sources.pages import host_name, robots_body
