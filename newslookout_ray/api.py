@@ -252,6 +252,91 @@ def _q_url_kernels(sf):
     )
 
 
+def _q_site_extracts(sf):
+    """Per-site profile extraction over the reference's own bz2 fixture
+    pages (ecotimes/hindu/ndtv) as a Ray pipeline: a 3-row dataset of
+    (module, url, html) through a map_batches extraction stage keyed by
+    module — the Ray form of the reference's test_mod_en_in_*.py runs.
+    Rows-only check (expected values pinned in
+    tests/test_profiles_reference.py)."""
+    import bz2 as _bz2
+
+    import ray.data
+
+    from .stages.extract import process_fetched_page
+    from .stages.profiles import PROFILES, CompiledProfile
+
+    fixture_dir = "/root/reference/test-data"
+    cases = [
+        (
+            "mod_en_in_ecotimes",
+            "mod_en_in_ecotimes_73837853.html.bz2",
+            "https://economictimes.indiatimes.com/markets/expert-view/"
+            "a-reasonable-budget-but-still-unclear-on-fiscal-deficit-front-swaminathan-aiyar/"
+            "articleshow/73837853.cms",
+        ),
+        (
+            "mod_en_in_hindu",
+            "mod_en_in_hindu_30713792.html.bz2",
+            "https://www.thehindu.com/business/budget/"
+            "16-point-action-plan-for-agriculture-evokes-mixed-response/article30713792.ece",
+        ),
+        (
+            "mod_en_in_ndtv",
+            "mod_en_in_ndtv_2373245.html.bz2",
+            "https://www.ndtv.com/business/"
+            "dollar-rises-on-us-recovery-hopes-bitcoin-hits-near-record-52-640-2373245",
+        ),
+    ]
+    rows = []
+    for module, fixture, url in cases:
+        with _bz2.open(f"{fixture_dir}/{fixture}", "rb") as fh:
+            rows.append({"module": module, "url": url, "html": fh.read()})
+
+    class SiteExtract:
+        def __init__(self):
+            self.cps = {name: CompiledProfile(p) for name, p in PROFILES.items()}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {
+                "module": [], "url": [], "unique_id": [], "pubdate": [],
+                "title_len": [], "text_size": [], "n_links": [],
+                "authors": [], "industries": [], "n_keywords": [],
+            }
+            for i in range(batch.num_rows):
+                module = batch["module"][i].as_py()
+                url = batch["url"][i].as_py()
+                rec = process_fetched_page(self.cps[module], url, batch["html"][i].as_py())
+                out["module"].append(module)
+                out["url"].append(url)
+                out["unique_id"].append(rec["unique_id"])
+                out["pubdate"].append(rec["pubdate"])
+                out["title_len"].append(len(rec["title"]))
+                out["text_size"].append(rec["text_size"])
+                out["n_links"].append(len(rec["links"]))
+                out["authors"].append(rec["authors"])
+                out["industries"].append(rec["industries"])
+                out["n_keywords"].append(len(rec["keywords"]))
+            return pa.table(
+                {
+                    "module": pa.array(out["module"], pa.string()),
+                    "url": pa.array(out["url"], pa.string()),
+                    "unique_id": pa.array(out["unique_id"], pa.string()),
+                    "pubdate": pa.array(out["pubdate"], pa.date32()),
+                    "title_len": pa.array(out["title_len"], pa.int64()),
+                    "text_size": pa.array(out["text_size"], pa.int64()),
+                    "n_links": pa.array(out["n_links"], pa.int64()),
+                    "authors": pa.array(out["authors"], pa.list_(pa.string())),
+                    "industries": pa.array(out["industries"], pa.list_(pa.string())),
+                    "n_keywords": pa.array(out["n_keywords"], pa.int64()),
+                }
+            )
+
+    return ray.data.from_items(rows).map_batches(
+        SiteExtract, batch_format="pyarrow", concurrency=1
+    )
+
+
 def _q_crawl_articles(sf):
     """Flagship: a small deterministic crawl whose pages wrap the sf dir's
     document texts; returns the extracted articles (rows-only check —
@@ -445,6 +530,7 @@ QUERIES = {
     "top_orders": _q_top_orders,
     "url_kernels": _q_url_kernels,
     "crawl_articles": _q_crawl_articles,
+    "site_extracts": _q_site_extracts,
     "rss_links": _q_rss_links,
     "date_urls": _q_date_urls,
     "aggregator_route": _q_aggregator_route,

@@ -232,6 +232,102 @@ BODY_FORMATS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# per-site body extractors (the SiteProfile body_extractor registry)
+# ---------------------------------------------------------------------------
+
+
+def hindu_article_body(html_content: str) -> str:
+    """The Hindu body chain (mod_en_in_hindu.py:175-192): concat of
+    <p class="body"> texts, overridden by div.articlestorycontent when
+    present. Neither selector exists on 2020-era pages (the reference
+    relied on newspaper's generic extraction there), so the last resort
+    replicates that generic pull deterministically: the text of the
+    div whose id starts with 'content-body-' (the page's article
+    container, verified against test-data/mod_en_in_hindu_30713792)."""
+    root = parse_html(html_content)
+    text = ""
+    for para in root.find_all("p", {"class": "body"}):
+        text += para.get_text()
+    story = root.find_all("div", {"class": "articlestorycontent"})
+    if story:
+        text = story[0].get_text()
+    if len(text) < 5:
+        for node in root.find_all("div"):
+            if node.attrs.get("id", "").startswith("content-body-"):
+                text = node.get_text()
+                break
+    return text
+
+
+def ndtv_article_body(html_content: str) -> str:
+    """NDTV body chain (mod_en_in_ndtv.py:259-284): paragraphs with a
+    single direct text child under the ins_storybody /
+    'content_text row description' / fullstoryCtrl_fulldetails
+    containers (bs4 find_all('p', text=True) semantics), then any
+    span/div[itemprop=articleBody] texts appended."""
+    root = parse_html(html_content)
+    body_text = ""
+    for cls in ("ins_storybody", "content_text row description", "fullstoryCtrl_fulldetails"):
+        for node in root.find_all(None, {"class": cls}):
+            for p in node.find_all("p"):
+                if len(p.children) == 1 and isinstance(p.children[0], str):
+                    body_text += p.get_text()
+    for tag in ("span", "div"):
+        for node in root.find_all(tag, {"itemprop": "articleBody"}):
+            body_text += node.get_text()
+    return body_text
+
+
+def ecotimes_authors_from_tags(html_content: str) -> list:
+    """extractAuthorsFromTags (mod_en_in_ecotimes.py:616-635): the first
+    span with class token 'ag' — its text, or its img's alt when the
+    text is empty."""
+    root = parse_html(html_content)
+    span = root.find("span", {"class": "ag"})
+    if span is None:
+        return []
+    text = span.get_text()
+    if len(text) < 1:
+        img = span.find("img")
+        if img is None:
+            return []
+        alt = img.attrs.get("alt")
+        return [alt] if alt else []
+    return [text]
+
+
+AUTHOR_TAG_FALLBACKS = {"ecotimes_span_ag": ecotimes_authors_from_tags}
+
+
+def extract_meta_keywords(html_content: str) -> list:
+    """T12 keyword slot: the deterministic portion of the reference's
+    keyword merge (news_event.py:378-385) — the comma-split contents of
+    <meta name="keywords"> and <meta name="news_keywords"> in document
+    order. (The newspaper-NLP keyword list the reference prepends needs
+    a model; that slot belongs to an ML actor stage, like M1.)"""
+    import re as _re
+
+    out = []
+    for name in ("keywords", "news_keywords"):
+        m = _re.search(
+            r'<meta[^>]+name=["\']' + name + r'["\'][^>]+content=["\']([^"\']*)["\']',
+            html_content,
+        ) or _re.search(
+            r'<meta[^>]+content=["\']([^"\']*)["\'][^>]+name=["\']' + name + r'["\']',
+            html_content,
+        )
+        if m and m.group(1):
+            out.extend(k.strip() for k in m.group(1).split(",") if k.strip())
+    # deDupeList semantics: first occurrence wins
+    seen, dedup = set(), []
+    for k in out:
+        if k not in seen:
+            seen.add(k)
+            dedup.append(k)
+    return dedup
+
+
 def extract_article_body(html_content: str) -> str:
     """Five-format fallback chain, exact gating of ecotimes
     extractArticleBody (mod_en_in_ecotimes.py:637-662): format N+1 is only
@@ -257,3 +353,11 @@ def extract_title(html_text: str) -> str:
     root = parse_html(html_text)
     node = root.find("title")
     return node.get_text() if node else ""
+
+
+#: SiteProfile.body_extractor registry (resolved in CompiledProfile)
+SITE_BODY_EXTRACTORS = {
+    "five_format_chain": extract_article_body,
+    "hindu": hindu_article_body,
+    "ndtv": ndtv_article_body,
+}

@@ -400,6 +400,9 @@ def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
             out["raw_size"].append(rec["raw_size"])
             out["text_size"].append(rec["text_size"])
             out["links"].append(rec["links"])
+            out["keywords"].append(rec.get("keywords", []))
+            out["authors"].append(rec.get("authors", []))
+            out["industries"].append(rec.get("industries", []))
             out["pseq"].append(row["pseq"])
             out["lidx"].append(row["lidx"])
             out["depth"].append(row["depth"])
@@ -461,6 +464,9 @@ def _missing_rows_table(missing_urls, sel_rows, module: str) -> pa.Table:
         cols["raw_size"].append(0)
         cols["text_size"].append(0)
         cols["links"].append([])
+        cols["keywords"].append([])
+        cols["authors"].append([])
+        cols["industries"].append([])
         cols["pseq"].append(row["pseq"])
         cols["lidx"].append(row["lidx"])
         cols["depth"].append(row["depth"])

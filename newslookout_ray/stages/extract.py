@@ -67,12 +67,14 @@ def process_fetched_page(cp: CompiledProfile, url: str, html: bytes, now=REFEREN
         links = _filter_links(profile, htmlkit.extract_links_from_html(url, html_str))
         return {"state": STATE_EMPTY, "links": links, "is_hub": True,
                 "title": "", "text": "", "unique_id": "", "pubdate": None,
-                "raw_size": len(html_str), "text_size": 0}
+                "raw_size": len(html_str), "text_size": 0,
+                "keywords": [], "authors": [], "industries": []}
 
     if len(html_str) <= profile.min_article_len:
         return {"state": STATE_EMPTY, "links": [], "is_hub": False,
                 "title": "", "text": "", "unique_id": "", "pubdate": None,
-                "raw_size": len(html_str), "text_size": 0}
+                "raw_size": len(html_str), "text_size": 0,
+                "keywords": [], "authors": [], "industries": []}
 
     cleaned_html = clean_text(html_str)
     links = _filter_links(profile, htmlkit.extract_links_from_html(url, cleaned_html))
@@ -91,12 +93,17 @@ def process_fetched_page(cp: CompiledProfile, url: str, html: bytes, now=REFEREN
         # reference: raises out of parseFetchedData → page ignored, links lost
         return {"state": STATE_EMPTY, "links": [], "is_hub": False,
                 "title": "", "text": "", "unique_id": "", "pubdate": None,
-                "raw_size": len(html_str), "text_size": 0}
+                "raw_size": len(html_str), "text_size": 0,
+                "keywords": [], "authors": [], "industries": []}
 
     try:
         unique_id = extract_unique_id(url, cp.id_patterns)
     except ScrapeError:
-        unique_id = crc32_hex(url)  # base_plugin.py:1372-1380 fallback
+        # U11: content regexes before the CRC fallback
+        # (mod_en_in_trak.py:144-185 extractUniqueIDFromContent)
+        unique_id = cp.extract_content_id(html_str)
+        if unique_id is None:
+            unique_id = crc32_hex(url)  # base_plugin.py:1372-1380 fallback
 
     text = clean_text(body)
     if text is None:
@@ -105,10 +112,16 @@ def process_fetched_page(cp: CompiledProfile, url: str, html: bytes, now=REFEREN
         return {"state": STATE_ARTICLE, "links": links, "is_hub": False,
                 "title": htmlkit.extract_title(cleaned_html), "text": text,
                 "unique_id": unique_id, "pubdate": pubdate.date(),
-                "raw_size": len(html_str), "text_size": len(text)}
+                "raw_size": len(html_str), "text_size": len(text),
+                # T12/T10/T11 enrichment columns (NewsEvent keywords merge
+                # news_event.py:378-385; plugin author/industry packs)
+                "keywords": htmlkit.extract_meta_keywords(html_str),
+                "authors": cp.extract_authors(html_str),
+                "industries": cp.extract_industries(url, html_str)}
     return {"state": STATE_EMPTY, "links": [], "is_hub": False,
             "title": "", "text": "", "unique_id": "", "pubdate": None,
-            "raw_size": len(html_str), "text_size": 0}
+            "raw_size": len(html_str), "text_size": 0,
+            "keywords": [], "authors": [], "industries": []}
 
 
 ARTICLE_FIELDS = [
@@ -123,6 +136,9 @@ ARTICLE_FIELDS = [
     ("raw_size", pa.int64()),
     ("text_size", pa.int64()),
     ("links", pa.list_(pa.string())),
+    ("keywords", pa.list_(pa.string())),
+    ("authors", pa.list_(pa.string())),
+    ("industries", pa.list_(pa.string())),
     ("pseq", pa.int64()),
     ("lidx", pa.int64()),
     ("depth", pa.int32()),
@@ -176,6 +192,9 @@ class PageExtractor:
             out["raw_size"].append(rec["raw_size"])
             out["text_size"].append(rec["text_size"])
             out["links"].append(rec["links"])
+            out["keywords"].append(rec.get("keywords", []))
+            out["authors"].append(rec.get("authors", []))
+            out["industries"].append(rec.get("industries", []))
             out["pseq"].append(batch["pseq"][i].as_py())
             out["lidx"].append(batch["lidx"][i].as_py())
             out["depth"].append(batch["depth"][i].as_py())

@@ -41,8 +41,21 @@ class SiteProfile:
     substrings_to_filter: tuple = ()
     #: discovered-links cap per content page (base_plugin.py:1249-1251)
     link_cap: int = 500
-    #: body extractor name (BODY_FORMATS chain by default)
+    #: body extractor name (SITE_BODY_EXTRACTORS registry in htmlkit)
     body_extractor: str = "five_format_chain"
+    #: T10 author regexes — group(2) = author string, comma-split
+    #: (base_plugin authorRegexps convention)
+    author_regexes: tuple = ()
+    #: tag-based author fallback name (AUTHOR_TAG_FALLBACKS registry)
+    author_tag_fallback: str = ""
+    #: T11 industry regexes — group(2) = industry (mod_en_in_trak.py:186-200)
+    industry_regexes: tuple = ()
+    #: T11 ecotimes rule: industry = smallest subdomain of the url's
+    #: netloc when it isn't the bare site name (mod_en_in_ecotimes.py:575-593)
+    industries_from_subdomain: str = ""
+    #: U11 content-ID regexes — group(2) = id searched in the page HTML
+    #: when the URL regexes fail (mod_en_in_trak.py:144-185)
+    content_id_regexes: tuple = ()
 
     def is_hub(self, url: str) -> bool:
         """Hub/discovery page ⇔ reference nonContentURL (mainURL,
@@ -62,12 +75,179 @@ class CompiledProfile:
     """Profile with regexes compiled once — built per actor in __init__."""
 
     def __init__(self, profile: SiteProfile):
+        import re
+
+        from ..functions.htmlkit import AUTHOR_TAG_FALLBACKS, SITE_BODY_EXTRACTORS
+
         self.profile = profile
         self.id_patterns = compile_id_patterns(list(profile.url_id_regexes))
         self.date_patterns = compile_date_patterns(list(profile.date_regexes))
-        self.body_extract = extract_article_body
+        self.body_extract = SITE_BODY_EXTRACTORS[profile.body_extractor]
+        self.author_patterns = [re.compile(p) for p in profile.author_regexes]
+        self.industry_patterns = [re.compile(p) for p in profile.industry_regexes]
+        self.content_id_patterns = [re.compile(p) for p in profile.content_id_regexes]
+        self.author_tag_fallback = (
+            AUTHOR_TAG_FALLBACKS[profile.author_tag_fallback]
+            if profile.author_tag_fallback
+            else None
+        )
+
+    def extract_authors(self, html_text: str) -> list:
+        """T10 (mod_en_in_ecotimes.py:595-614 / mod_en_in_hindu.py
+        authorRegexps): first matching regex's group(2), comma-split;
+        tag fallback when no regex hits."""
+        for pat in self.author_patterns:
+            m = pat.search(html_text)
+            if m is not None:
+                return m.group(2).split(",")
+        if self.author_tag_fallback is not None:
+            return self.author_tag_fallback(html_text)
+        return []
+
+    def extract_industries(self, url: str, html_text: str) -> list:
+        """T11: subdomain rule (ecotimes) and/or regex pack (trak)."""
+        from ..functions.urlkit import get_host
+
+        industries = []
+        if self.profile.industries_from_subdomain:
+            sub = get_host(url).split(".")[0]
+            if sub != self.profile.industries_from_subdomain:
+                industries.append(sub)
+        for pat in self.industry_patterns:
+            m = pat.search(html_text)
+            if m is not None:
+                industries.append(m.group(2))
+        return industries
+
+    def extract_content_id(self, html_text: str):
+        """U11: unique ID from the page content (group(2)), or None."""
+        for pat in self.content_id_patterns:
+            m = pat.search(html_text)
+            if m is not None:
+                return m.group(2)
+        return None
 
 
 DEFAULT_PROFILE = SiteProfile()
 
-PROFILES = {"synthetic": DEFAULT_PROFILE}
+
+# ---------------------------------------------------------------------------
+# real site profiles — data packs transcribed from the reference plugins
+# (constants, not code: the byte-identical extraction contract requires
+# these exact regex/filter strings)
+# ---------------------------------------------------------------------------
+
+ECOTIMES_PROFILE = SiteProfile(
+    name="mod_en_in_ecotimes",
+    valid_url_substrings=("economictimes.indiatimes.com/",),
+    # subset of mod_en_in_ecotimes.py:85-161 invalidURLSubStrings
+    invalid_url_substrings=(
+        "//www.indiatimes.com/",
+        "/videos/",
+        "/slideshows/",
+        "/podcast/",
+        "/panache/",
+        "/multimedia/",
+    ),
+    url_id_regexes=(
+        r"(http.+\/economictimes\.indiatimes\.com)(.*\/)([0-9]+)(\.cms)",
+        r"(\.economictimes\.indiatimes\.com\/)(.+\/)([0-9]+)",
+        r"(http.+\/\/)(.+economictimes\.indiatimes\.com\/.+\/)([0-9]{5,})",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    # plugin pack (Last-Modified meta, mod_en_in_ecotimes.py:484-488)
+    # merged with the base pack, as the plugin's __init__ does (:532)
+    date_regexes=(
+        (
+            r"(<meta http-equiv=\"Last-Modified\" content=\"[a-zA-Z]{3,}, )"
+            r"([a-zA-Z]{3}[ ]+[0-9]{1,2},[ ]+20[0-9]{2}[ ]+[0-9]{1,2}:[0-9]{2}:[0-9]{2})( [AMPamp]{2}\"\/>)",
+            "%b %d, %Y  %H:%M:%S",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    invalid_text_strings=(
+        "If you choose to ignore this message, we'll assume that you are happy to receive all cookies",
+    ),
+    body_extractor="five_format_chain",
+    author_regexes=(
+        r"(agency:')([a-zA-Z0-9]+)(')",
+        r"(channel :  ')([a-zA-Z0-9]+)(',)",
+        r"(agename = ')([a-zA-Z0-9]+)(';)",
+        r"(<div class = \"ag tac\">)([a-zA-Z0-9]+)(<\/div>)",
+        r"(\"publisher\":{\"@type\":\"Organization\",\"name\":\")([a-zA-Z0-9]+)(\")",
+        r"(\.economictimes\.indiatimes\.com\/agency\/.+\" target = \"_blank\">)([a-zA-Z0-9]+)(<\/a>)",
+    ),
+    author_tag_fallback="ecotimes_span_ag",
+    industries_from_subdomain="economictimes",
+)
+
+HINDU_PROFILE = SiteProfile(
+    name="mod_en_in_hindu",
+    valid_url_substrings=("thehindu.com/",),
+    url_id_regexes=(
+        r"(https\:\/\/)(www.thehindu.com\/business\/.*\-)([0-9]+)(\.ece$)",
+        r"(https\:\/\/www.thehindu.com\/business\/.*)(\-)([0-9]+)(/$)",
+        r"(https\:\/\/www.thehindu.com\/business\/.*)(article)([0-9]+)(\.ece)",
+        r"(https:\/\/)(www.thehindu.com\/news\/.+\/article)([0-9]{3,})(\.ece)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    date_regexes=(
+        (
+            r"(<meta name=\"publish-date\" content=\")"
+            r"(20[0-9]{2}\-[0-9]{2}\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\+05:30\")",
+            "%Y-%m-%dT%H:%M:%S",
+        ),
+        (
+            r"(<none>\n)([a-zA-Z]{3,} [0-9]{1,2}, 20[0-9]{2} [0-9]{1,2}:[0-9]{2})( IST)",
+            "%B %d, %Y %H:%M",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=200,
+    body_extractor="hindu",
+    author_regexes=(
+        r"(tp.push\(\[\"setContentAuthor\", \")([a-zA-Z.\- ]{3,})(\"\]\))",
+        r"(<meta property=\"article:author\" content=\")([a-zA-Z_\-.\ ]{3,})(\" \/>)",
+        r"('Author':')([a-zA-Z_\-.\ ]{3,})(',)",
+        r"('authorName' : ')([a-zA-Z.\- ]{3,})(')",
+    ),
+)
+
+NDTV_PROFILE = SiteProfile(
+    name="mod_en_in_ndtv",
+    valid_url_substrings=("ndtv.com/",),
+    url_id_regexes=(
+        r"(^http.+\/\/)(www.ndtv.com\/.+\-)([0-9]{5,})",
+        r"(^http.+\/\/)(www.ndtv.com\/.+\-)([0-9]{5,})(\?)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    date_regexes=(
+        (
+            r"(content = \")(20[0-9]{2}\-[0-9]{2}\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\+05:30\")",
+            "%Y-%m-%dT%H:%M:%S",
+        ),
+        (
+            r"(Updated: )([a-zA-Z]+ [0-9]{1,2}, 20[0-9]{2} [0-9]{1,2}:[0-9]{2})( [a-zA-Z]{2} IST)",
+            "%B %d, %Y %H:%M",
+        ),
+        (
+            r"(\"datePublished\":\")([0-9]{4}-[0-9]{2}-[0-9]{2})(T[0-9]{2}:[0-9]{2}:[0-9]{2}\+05:30\")",
+            "%Y-%m-%d",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=250,
+    body_extractor="ndtv",
+)
+
+TRAK_CONTENT_ID_REGEXES = (
+    r"(<link rel='shortlink' href='https://trak.in/\?p=)([0-9]{4,})(' />)",
+)
+
+PROFILES = {
+    "synthetic": DEFAULT_PROFILE,
+    "mod_en_in_ecotimes": ECOTIMES_PROFILE,
+    "mod_en_in_hindu": HINDU_PROFILE,
+    "mod_en_in_ndtv": NDTV_PROFILE,
+}
