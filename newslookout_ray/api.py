@@ -337,6 +337,15 @@ def _q_site_extracts(sf):
     )
 
 
+def _q_gdelt_urls(sf):
+    """S6: GDELT zipped-TSV aggregator ingestion over the reference's own
+    fixture archive (rows-only; kernel-vs-pandas parity is pinned in
+    tests/test_archives.py)."""
+    from .sources.archives import gdelt_urls
+
+    return gdelt_urls(["/root/reference/test-data/mod_in_gdelt_20210203.zip"], "IN")
+
+
 def _q_crawl_articles(sf):
     """Flagship: a small deterministic crawl whose pages wrap the sf dir's
     document texts; returns the extracted articles (rows-only check —
@@ -531,6 +540,7 @@ QUERIES = {
     "url_kernels": _q_url_kernels,
     "crawl_articles": _q_crawl_articles,
     "site_extracts": _q_site_extracts,
+    "gdelt_urls": _q_gdelt_urls,
     "rss_links": _q_rss_links,
     "date_urls": _q_date_urls,
     "aggregator_route": _q_aggregator_route,

@@ -1,0 +1,128 @@
+"""S6 (GDELT zipped-TSV ingestion) and S7 (zip archive expander) tests —
+S6 runs against the reference's own fixture archive."""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+
+from newslookout_ray.sources import archives as ar
+
+GDELT_FIXTURE = "/root/reference/test-data/mod_in_gdelt_20210203.zip"
+
+
+class TestGdeltKernel:
+    def test_fixture_matches_reference_semantics(self):
+        """Same rows the reference's pandas flow keeps: col 51 == 'IN',
+        col 57 stripped, first-occurrence deduped."""
+        with open(GDELT_FIXTURE, "rb") as fh:
+            payload = fh.read()
+        got = ar.extract_urls_from_gdelt_zip(payload, "IN")
+
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            df = pd.read_csv(
+                io.BytesIO(zf.read(zf.namelist()[0])),
+                delimiter="\t", header=None, low_memory=False,
+            )
+        want_all = [u.strip() for u in df[df.iloc[:, 51] == "IN"].iloc[:, 57].values]
+        want, seen = [], set()
+        for u in want_all:
+            if u not in seen:
+                seen.add(u)
+                want.append(u)
+        assert got == want
+        assert len(got) == 215  # fixture ground truth
+
+    def test_other_country_code(self):
+        with open(GDELT_FIXTURE, "rb") as fh:
+            payload = fh.read()
+        us = ar.extract_urls_from_gdelt_zip(payload, "US")
+        assert us and us != ar.extract_urls_from_gdelt_zip(payload, "IN")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGdeltPipeline:
+    def test_distributed_matches_kernel_order(self):
+        with open(GDELT_FIXTURE, "rb") as fh:
+            payload = fh.read()
+        want = ar.extract_urls_from_gdelt_zip(payload, "IN")
+        got = ar.gdelt_urls([GDELT_FIXTURE, GDELT_FIXTURE], "IN").to_pandas()
+        # duplicate archive contributes nothing new; order = first appearance
+        assert got["url"].tolist() == want
+
+
+def _nse_zip(tmp_path) -> str:
+    announce = (
+        "HEADER LINE\n"
+        "Some Company Ltd  SYMB1  : won a contract for road works\n"
+        "Another Corp  SYMB2  : approved the merger\n"
+        "continuation line without colon marker\n"
+        "Nav Fund  SYMB3  : declaration of nav of the scheme\n"
+        "Weird line without separator\n"
+    )
+    path = os.path.join(tmp_path, "PR020321.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("An020321.txt", announce)
+        zf.writestr("Bm020321.csv", "a,b\n1,2\n")
+        zf.writestr("Bc020321.csv", "c,d\n3,4\n")
+        zf.writestr("Pd020321.csv", "e,f\n5,6\n")
+        zf.writestr("corpbond020321.csv", "g\n7\n")
+        zf.writestr("Xx020321.dat", "opaque")
+        zf.writestr("Readme.txt", "do not extract me")
+    return path
+
+
+class TestNseExpander:
+    def test_prefix_rename_map(self):
+        assert ar.nse_member_filename("An020321.txt", "2021-03-02", "m") == "equity_nse_announce_2021-03-02.txt"
+        assert ar.nse_member_filename("Bm020321.csv", "2021-03-02", "m") == "equity_nse_boardmeet_2021-03-02.csv"
+        assert ar.nse_member_filename("Bc020321.csv", "2021-03-02", "m") == "equity_nse_corp_action_2021-03-02.csv"
+        assert ar.nse_member_filename("Pd020321.csv", "2021-03-02", "m") == "equity_nse_2021-03-02.csv"
+        assert ar.nse_member_filename("corpbond1.csv", "2021-03-02", "m") == "debt_nse_2021-03-02.csv"
+        assert ar.nse_member_filename("Xx1.dat", "2021-03-02", "mod") == "mod_Xx1.dat"
+
+    def test_expand_and_parse(self, tmp_path):
+        path = _nse_zip(str(tmp_path))
+        with open(path, "rb") as fh:
+            payload = fh.read()
+        out_dir = os.path.join(str(tmp_path), "out")
+        written, recs, size = ar.expand_zip_archive(
+            payload, out_dir, "2021-03-02", "https://x/PR020321.zip"
+        )
+        names = {os.path.basename(w) for w in written}
+        assert "equity_nse_announce_2021-03-02.txt" in names
+        assert "debt_nse_2021-03-02.csv" in names
+        assert not any("Readme" in n for n in names)
+        assert size > 0
+        # announcement parsing: header skipped, excluded phrase skipped,
+        # continuation line joined, prefix regex applied
+        assert [r["unique_id"] for r in recs] == ["SYMB1", "SYMB2"]
+        assert recs[0]["title"] == "NSE Announcement for Some Company Ltd"
+        assert recs[0]["industries"] == ["SYMB1"]
+        assert "continuation line" in recs[1]["text"]
+        # idempotent re-expand: files untouched, same records
+        mtimes = {w: os.path.getmtime(w) for w in written}
+        _, recs2, size2 = ar.expand_zip_archive(
+            payload, out_dir, "2021-03-02", "https://x/PR020321.zip"
+        )
+        assert [r["unique_id"] for r in recs2] == ["SYMB1", "SYMB2"]
+        assert size2 == 0  # nothing rewritten
+        assert all(os.path.getmtime(w) == m for w, m in mtimes.items())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNsePipeline:
+    def test_expand_archives_dataset(self, tmp_path):
+        path = _nse_zip(str(tmp_path))
+        out = ar.expand_archives(
+            [{"path": path, "publish_date_str": "2021-03-02", "url": "https://x/PR020321.zip"}],
+            os.path.join(str(tmp_path), "root"),
+        ).to_pandas()
+        assert out["unique_id"].tolist() == ["SYMB1", "SYMB2"]
+        assert os.path.isfile(
+            os.path.join(str(tmp_path), "root", "2021-03-02", "equity_nse_2021-03-02.csv")
+        )
