@@ -12,7 +12,6 @@ constants).
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -119,18 +118,49 @@ class LangIdStage:
         )
 
 
+_FP_MOD = np.uint64((1 << 31) - 1)  # Mersenne prime: products fit uint64
+_FP_BASE = 1_000_003
+_FP_POW = np.ones(1, dtype=np.uint64)  # grown on demand, cached per process
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    global _FP_POW
+    if len(_FP_POW) < n:
+        old = len(_FP_POW)
+        grown = np.empty(n, dtype=np.uint64)
+        grown[:old] = _FP_POW
+        for k in range(old, n):  # once per process per new max length
+            grown[k] = (grown[k - 1] * np.uint64(_FP_BASE)) % _FP_MOD
+        _FP_POW = grown
+    return _FP_POW
+
+
 def fingerprint_stage(batch: pa.Table) -> pa.Table:
-    """64-bit rolling polynomial fingerprint over whitespace tokens
-    (per-doc content identity; CRC32 per token keeps it C-speed)."""
+    """Rolling polynomial fingerprint over whitespace tokens, fully
+    batch-vectorized: one cythonized hash pass over every token
+    (pandas hash_array), a power table (cached, grown on demand), and a
+    single segment-reduce per batch. h = Σ c_j · B^(n-1-j) mod M with
+    M = 2^31-1 so per-token products fit in uint64 with no Python loop."""
+    import pandas as pd
+
     texts = batch["text"].to_pylist()
+    token_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(tl) for tl in token_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
-    MOD = (1 << 64) - 59  # largest 64-bit prime-ish modulus
-    BASE = 1_000_003
-    for i, t in enumerate(texts):
-        h = 0
-        for tok in (t or "").split():
-            h = (h * BASE + (zlib.crc32(tok.encode("utf-8")) + 1)) % MOD
-        out[i] = h
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
+        c = (pd.util.hash_array(flat) % _FP_MOD) + np.uint64(1)
+        pows = _fp_powers(int(lens.max()))
+        nonempty = lens > 0
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        # exponent of token j in doc of n tokens is n-1-j
+        n_rep = np.repeat(lens[nonempty], lens[nonempty])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens[nonempty])
+        vals = (c * pows[n_rep - 1 - pos]) % _FP_MOD  # < 2^31 each
+        sums = np.add.reduceat(vals, starts) % _FP_MOD  # safe: Σ < 2^31·n
+        out[nonempty] = sums
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())})
 
 
