@@ -133,44 +133,68 @@ class SentimentStage:
 # ---------------------------------------------------------------------------
 
 
+def _bag_vectors(texts, dim: int = 128) -> np.ndarray:
+    """Normalized token-bag vectors for a whole group, vectorized: one
+    cythonized hash pass over every token (pandas hash_array), then one
+    bincount over (doc_idx · dim + bucket) for all histograms at once —
+    no per-token Python in the hot path."""
+    token_lists = [(t or "").split() for t in texts]
+    lens = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+    vecs = np.zeros((len(texts), dim), dtype=np.float64)
+    if lens.sum():
+        flat = np.concatenate([np.asarray(tl, dtype=object) for tl in token_lists if tl])
+        buckets = (pd.util.hash_array(flat) % np.uint64(dim)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        counts = np.bincount(doc_idx * dim + buckets, minlength=len(texts) * dim)
+        vecs = counts.reshape(len(texts), dim).astype(np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0] = 1.0
+    return vecs / norms[:, None]
+
+
 def _bag_vector(text: str, dim: int = 128) -> np.ndarray:
-    vec = np.zeros(dim, dtype=np.float64)
-    for tok in (text or "").split():
-        vec[zlib.crc32(tok.encode("utf-8")) % dim] += 1.0
-    n = np.linalg.norm(vec)
-    return vec / n if n else vec
+    return _bag_vectors([text], dim)[0]
 
 
-_SRP_PROJ = np.random.RandomState(0x5EED).normal(size=(128, 64)).astype(np.float32)
+def _chunked_candidates(
+    vecs: np.ndarray, sizes: np.ndarray, modules: np.ndarray, threshold: float = 0.99
+) -> np.ndarray:
+    """Exact candidate (i, j) pairs (i<j, lexicographic order) with
+    cosine >= threshold AND passing the reference's per-pair skip
+    predicates (different module, <=15% size gap), computed in row
+    CHUNKS so peak memory is O(chunk·n) — never the n×n matrix. Compute
+    is O(n²·d) vectorized matmul, which is what the reference's
+    all-pairs rule inherently costs; memory is what used to OOM a hot
+    publish date, and that is now bounded. (A sub-quadratic LSH screen
+    was tried and rejected: token-bag vectors of same-corpus docs are
+    heavily correlated, so SRP bands over-collide and generate MORE work
+    than the screen itself on realistic dates.)
 
-
-def _srp_band_candidates(vecs: np.ndarray, bands: int = 8) -> np.ndarray:
-    """Candidate (i, j) pairs (i<j, lexicographically sorted) whose SRP
-    signatures collide in >=1 of `bands` 8-bit bands. O(n·64) memory plus
-    the candidate list — no pairwise matrix."""
+    Filtering pairs the greedy loop would only have SKIPPED (same
+    module / size gap) cannot change its dup_of evolution, so applying
+    those masks vectorized here is outcome-identical to the reference's
+    per-iteration checks."""
     n = len(vecs)
     if n < 2:
         return np.empty((0, 2), dtype=np.int64)
-    bits = (vecs @ _SRP_PROJ) > 0  # (n, 64) bool
-    keys = np.packbits(bits, axis=1)  # (n, 8) uint8 — one byte per band
-    pair_keys: set = set()
-    for b in range(bands):
-        order = np.argsort(keys[:, b], kind="stable")
-        col = keys[order, b]
-        run_starts = np.flatnonzero(np.r_[True, col[1:] != col[:-1]])
-        run_ends = np.r_[run_starts[1:], len(col)]
-        for s, e in zip(run_starts, run_ends):
-            if e - s < 2:
-                continue
-            members = np.sort(order[s:e])
-            for x in range(len(members)):
-                base = int(members[x]) << 32
-                for y in range(x + 1, len(members)):
-                    pair_keys.add(base | int(members[y]))
-    if not pair_keys:
+    chunk = max(64, (1 << 24) // max(1, n))  # ~64 MB float32 per slab
+    out = []
+    for s in range(0, n, chunk):
+        e = min(n, s + chunk)
+        sims = vecs[s:e] @ vecs.T  # (chunk, n)
+        ii, jj = np.nonzero(sims >= threshold)
+        ii = ii + s
+        keep = ii < jj  # i<j, dedups the symmetric/self hits
+        ii, jj = ii[keep], jj[keep]
+        if len(ii):
+            big = np.maximum(sizes[ii], sizes[jj])
+            small = np.minimum(sizes[ii], sizes[jj])
+            ok = (modules[ii] != modules[jj]) & (big > 0) & ((big - small) <= 0.15 * big)
+            if ok.any():
+                out.append(np.column_stack((ii[ok], jj[ok])))
+    if not out:
         return np.empty((0, 2), dtype=np.int64)
-    packed = np.sort(np.fromiter(pair_keys, dtype=np.int64, count=len(pair_keys)))
-    return np.column_stack((packed >> 32, packed & 0xFFFFFFFF))
+    return np.concatenate(out)  # chunks ascend in i → already lex sorted
 
 
 def near_dedup_articles_stage(df: pd.DataFrame) -> pd.DataFrame:
@@ -186,29 +210,19 @@ def near_dedup_articles_stage(df: pd.DataFrame) -> pd.DataFrame:
     """
     df = df.reset_index(drop=True)
     n = len(df)
-    vecs = np.stack([_bag_vector(t) for t in df["text"]]).astype(np.float32)
+    vecs = _bag_vectors(list(df["text"])).astype(np.float32)
     sizes = df["text"].str.len().to_numpy()
     modules = df["module"].to_numpy()
-    # Candidate generation by signed-random-projection banding — never
-    # builds the n×n similarity matrix (one hot publish date at scale
-    # would OOM the group). 64 SRP bits per article, 8 bands × 8 bits:
-    # a cosine>=0.99 pair disagrees on a given bit with p≈0.045, so it
-    # misses all 8 bands with p≈(1-0.955^8)^8 < 1e-4 — recall is
-    # approximate but near-exact at the 0.99 threshold; precision is
-    # exact because every candidate is verified with a true dot product.
-    # Survivors are processed in (i, j) lexicographic order — the same
-    # order the reference's all-pairs loop visits them, so the greedy
-    # marking outcome is identical for any pair set the bands recover.
-    cand = _srp_band_candidates(vecs)
-    if len(cand):
-        sims = np.einsum("ij,ij->i", vecs[cand[:, 0]], vecs[cand[:, 1]])
-        cand = cand[sims >= 0.99]
+    # Exact chunked screen: same candidate set as the reference's
+    # all-pairs loop, O(chunk·n) memory (one hot publish date no longer
+    # OOMs the group), with the loop's skip predicates applied as
+    # vectorized masks. Survivors arrive in (i, j) lexicographic order —
+    # the order the reference's loop visits them — so greedy marking is
+    # outcome-identical.
+    cand = _chunked_candidates(vecs, sizes, modules)
     dup_of = np.full(n, -1, dtype=np.int64)
     for i, j in cand:
-        if dup_of[i] >= 0 or dup_of[j] >= 0 or modules[i] == modules[j]:
-            continue
-        big, small = max(sizes[i], sizes[j]), min(sizes[i], sizes[j])
-        if big == 0 or (big - small) > 0.15 * big:
+        if dup_of[i] >= 0 or dup_of[j] >= 0:
             continue
         loser = i if sizes[i] < sizes[j] else j
         dup_of[loser] = j if loser == i else i

@@ -63,10 +63,10 @@ class TestChain:
         assert not kept_other["is_duplicate"].any()
 
 
-class TestNearDedupBanding:
-    def test_banded_equals_allpairs_marking(self):
-        """The SRP-banded stage must mark exactly the same duplicates as
-        the exact all-pairs (n×n) formulation of the reference rule on a
+class TestNearDedupChunked:
+    def test_chunked_equals_allpairs_marking(self):
+        """The chunked-screen stage must mark exactly the same duplicates
+        as the full-matrix formulation of the reference rule on a
         300-article group with injected near-dup clusters."""
         import pandas as pd
 
@@ -107,6 +107,25 @@ class TestNearDedupBanding:
 
         assert want.sum() > 50  # the injected twins were actually caught
         assert (got == want).all()
+
+    def test_chunk_boundaries_exact(self):
+        """Multi-chunk screening (n > 2^12 triggers >1 slab) finds the
+        same pairs as one full matmul."""
+        rng = np.random.RandomState(5)
+        n = 5000
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        # inject exact twins straddling the chunk boundary
+        for i in (0, 3354, 3355, 4999):
+            vecs[i] = vecs[(i * 7 + 13) % n]
+        sizes = np.full(n, 100)
+        modules = np.array([f"m{i % 2}" for i in range(n)], dtype=object)
+        got = pr._chunked_candidates(vecs, sizes, modules, threshold=0.999)
+        sims = vecs @ vecs.T
+        ii, jj = np.nonzero(np.triu(sims >= 0.999, k=1))
+        ok = modules[ii] != modules[jj]
+        want = np.column_stack((ii[ok], jj[ok]))
+        assert got.shape == want.shape and (got == want).all()
 
 
 class TestSentimentUnit:
