@@ -130,9 +130,9 @@ class MinHashStage:
         sh = word_shingles(text, self.ngram)
         if not sh:
             return np.full(self.perms, _MERSENNE, dtype=np.uint64)
-        base = np.fromiter(
-            (zlib.crc32(s.encode("utf-8")) for s in sh), dtype=np.uint64, count=len(sh)
-        )
+        # one cythonized hash pass over the doc's shingles (stable default
+        # key), folded below 2^32 so a*x+b stays within uint64 headroom
+        base = pd.util.hash_array(np.array(list(sh), dtype=object)) >> np.uint64(32)
         # (a*x + b) mod p for each perm × shingle, min over shingles
         prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return prod.min(axis=1)
@@ -169,122 +169,178 @@ def _band_rows(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
     )
 
 
-def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency: int = 2):
+def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
+                      band_limit: int = 5_000_000, pair_limit: int = 500_000):
+    # NB: two actor-pool stages run in this pipeline (signature + verify);
+    # min replicas MUST stay below cpus/2 or the streaming executor
+    # deadlocks with both pools reserved and the upstream read starved
+    # (observed live at 4 cpus with min 2+2).
     """Near-duplicate pairs (a<b, jaccard>=threshold) via MinHash+LSH.
 
-    shingle→minhash (actor stage) → band explode → groupby(band_key) →
-    candidate pairs within buckets → dedup pairs → exact Jaccard verify
-    against the text (broadcast lookup of the two docs' texts).
+    shingle→minhash (actor stage) → band explode → band-key SELF-JOIN
+    (the within-bucket pair generation as one vectorized hash join — no
+    per-bucket Python, singleton buckets cost one self-row filtered out)
+    → per-block pair dedup → exact Jaccard verify against the texts
+    re-joined on doc_id.
     """
     import ray
 
     sigs = docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=concurrency)
-    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    bands_ds = sigs.map_batches(_band_rows, batch_format="pyarrow").select_columns(
+        ["doc_id", "band_key"]
+    )
+    # Hash joins spawn num_partitions aggregator actors EACH; with up to
+    # three joins in one streaming execution, partitions must scale with
+    # the CLUSTER (3×8 aggregators wedge a 4-cpu session; cpus/4 is safe).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(16, cpus // 4))
 
-    from ray.data.aggregate import Count
+    # Band rows are two int64s per (doc, band) — 32 ints per doc. Under
+    # `band_limit` rows (probed with limit(N+1), so an over-limit corpus
+    # never lands on the driver) the bucket pair-generation is driver-side
+    # numpy over the collected ints; past it, a distributed band-key
+    # SELF-JOIN generates within-bucket pairs as one vectorized hash join
+    # (no per-bucket Python; singleton buckets cost one filtered self-row).
+    # band_limit default ≈ 80 MB of ints driver-side
+    probe = collect_table(bands_ds.limit(band_limit + 1))
 
-    # most band keys are singletons: find the colliding keys with one
-    # vectorized Count aggregate, broadcast them, and only build pairs
-    # inside those (few) buckets
-    bands = bands.materialize()
-    key_counts = bands.groupby("band_key").aggregate(Count(alias_name="n"))
-    hot_keys = set(
-        collect_table(
-            key_counts.map_batches(
-                lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
+    if probe.num_rows <= band_limit:
+        ids = probe["doc_id"].to_numpy(zero_copy_only=False)
+        keys = probe["band_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys_s, ids_s = keys[order], ids[order]
+        run_starts = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+        run_ends = np.r_[run_starts[1:], len(keys_s)]
+        packed_parts = []
+        for s, e in zip(run_starts, run_ends):
+            if e - s < 2:
+                continue
+            members = np.sort(ids_s[s:e])
+            ii, jj = np.triu_indices(len(members), k=1)
+            packed_parts.append((members[ii] << np.int64(32)) | members[jj])
+        if packed_parts:
+            packed = np.unique(np.concatenate(packed_parts))
+            cand_tbl = pa.table(
+                {
+                    "a": pa.array(packed >> np.int64(32), pa.int64()),
+                    "b": pa.array(packed & np.int64(0xFFFFFFFF), pa.int64()),
+                }
             )
-        )["band_key"].to_pylist()
-    )
-    hot_ref = ray.put(hot_keys)
+        else:
+            cand_tbl = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        import ray.data as _rd
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        hot = ray.get(hot_ref)
-        mask = pa.array([k in hot for k in batch["band_key"].to_pylist()])
-        return batch.filter(mask)
+        cand = _rd.from_arrow(cand_tbl)
+    else:
+        bands = bands_ds.materialize()  # both join sides
+        joined = bands.join(
+            bands,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("band_key",),
+            left_suffix="_l",
+            right_suffix="_r",
+        )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # per-bucket pairs, locally deduped; cross-bucket duplicates are
-        # tolerated — the cached verifier re-checks them cheaply and the
-        # small verified result is deduped at the end (a multi-key
-        # groupby on the full candidate set costs far more than the
-        # duplicate verifications it would save)
-        ids = sorted(df["doc_id"].unique())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        def pair_filter(batch: pa.Table) -> pa.Table:
+            # keep a<b (drops self-pairs and mirror orders), local dedup
+            t = pa.table({"a": batch["doc_id_l"], "b": batch["doc_id_r"]})
+            t = t.filter(pa.compute.less(t["a"], t["b"]))
+            df = t.to_pandas().drop_duplicates(["a", "b"])
+            return pa.Table.from_pandas(df, preserve_index=False)
 
-    cand = (
-        bands.map_batches(only_hot, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
+        cand = joined.map_batches(pair_filter, batch_format="pyarrow", batch_size=None)
 
-    # per-batch candidate dedup (no shuffle): catches same-block
-    # duplicates cheaply before the join ships any text
-    cand = cand.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
-    )
+    # Verify against candidate texts only. Candidate pairs are two int64s
+    # each — bounded by near-dup density, a sliver of the corpus — so the
+    # SMALL case (≤ pair_limit, probed with limit(N+1)) collects the
+    # pairs, filters the texts Dataset to the candidate doc_ids (one
+    # streaming pass — only candidate docs' text ever reaches the driver)
+    # and verifies with a driver-side shingle cache: zero extra dataset
+    # executions beyond the filter pass. Past pair_limit the pairs stay
+    # distributed and texts are re-joined on doc_id (two hash joins) with
+    # an actor-pool verifier — the huge-candidate-set path.
+    import ray as _ray
 
-    # verify: re-join candidate pairs to texts on doc_id (hash shuffle of
-    # ONLY the candidate docs' texts — the corpus itself is never
-    # materialized on the driver, so this path holds at 100 TB where the
-    # candidate set is a tiny fraction of the corpus). The verifier is an
-    # ACTOR stage with a per-worker shingle cache keyed by doc_id, so a
-    # doc appearing in many pairs is shingled once per worker.
-    texts = docs.select_columns(["doc_id", "text"])
-    num_partitions = max(4, concurrency * 2)
-    j1 = cand.join(
-        texts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_a"})
-    # join1 hash-partitions by `a`, so every duplicate of a pair (a, b)
-    # (one per colliding LSH band) lands in the SAME partition — a
-    # whole-block drop_duplicates here is a global pair dedup with no
-    # extra shuffle (if a huge partition splits into several blocks the
-    # stragglers are still deduped in the final result; this pass only
-    # bounds join2's shuffle volume).
-    j1 = j1.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas", batch_size=None
-    )
-    j2 = j1.join(
-        texts,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("b",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_b"})
     thr = threshold
+    texts = docs.select_columns(["doc_id", "text"])
+    probe = collect_table(cand.limit(pair_limit + 1))
 
-    class VerifyJaccard:
-        def __init__(self):
-            self.cache: dict = {}
+    if probe.num_rows <= pair_limit:
+        a_ids = probe["a"].to_numpy(zero_copy_only=False)
+        b_ids = probe["b"].to_numpy(zero_copy_only=False)
+        cand_ids = set(np.unique(np.concatenate([a_ids, b_ids])).tolist())
+        ids_ref = _ray.put(cand_ids)
 
-        def _sh(self, doc_id, text):
-            s = self.cache.get(doc_id)
+        def only_cand(batch: pa.Table) -> pa.Table:
+            wanted = _ray.get(ids_ref)
+            mask = pa.array([i in wanted for i in batch["doc_id"].to_pylist()])
+            return batch.filter(mask)
+
+        cand_texts = collect_table(texts.map_batches(only_cand, batch_format="pyarrow"))
+        text_of = dict(zip(cand_texts["doc_id"].to_pylist(), cand_texts["text"].to_pylist()))
+        sh_cache: dict = {}
+
+        def _sh(doc_id):
+            s = sh_cache.get(doc_id)
             if s is None:
-                s = word_shingles(text)
-                self.cache[doc_id] = s
+                s = word_shingles(text_of[doc_id])
+                sh_cache[doc_id] = s
             return s
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            keep_a, keep_b, jac = [], [], []
-            for a, b, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
-                j = jaccard(self._sh(a, ta), self._sh(b, tb))
-                if j >= thr:
-                    keep_a.append(a)
-                    keep_b.append(b)
-                    jac.append(floor_round(j, 6))
-            return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+        keep_a, keep_b, jac = [], [], []
+        for a, b in zip(a_ids.tolist(), b_ids.tolist()):
+            j = jaccard(_sh(a), _sh(b))
+            if j >= thr:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(floor_round(j, 6))
+        verified = pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+    else:
+        j1 = cand.join(
+            texts,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("a",),
+            right_on=("doc_id",),
+        ).rename_columns({"text": "text_a"})
+        # join1 co-partitions duplicates of a pair by `a` → whole-block
+        # dedup bounds join2's shuffle volume
+        j1 = j1.map_batches(
+            lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas", batch_size=None
+        )
+        j2 = j1.join(
+            texts,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("b",),
+            right_on=("doc_id",),
+        ).rename_columns({"text": "text_b"})
 
-    verified = j2.map_batches(
-        VerifyJaccard, batch_format="pandas", batch_size=8192, concurrency=concurrency
-    ).to_pandas()
+        class VerifyJoined:
+            def __init__(self):
+                self.cache: dict = {}
+
+            def _sh(self, doc_id, text):
+                s = self.cache.get(doc_id)
+                if s is None:
+                    s = word_shingles(text)
+                    self.cache[doc_id] = s
+                return s
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                keep_a, keep_b, jac = [], [], []
+                for a, b, ta, tb in zip(df["a"], df["b"], df["text_a"], df["text_b"]):
+                    j = jaccard(self._sh(a, ta), self._sh(b, tb))
+                    if j >= thr:
+                        keep_a.append(a)
+                        keep_b.append(b)
+                        jac.append(floor_round(j, 6))
+                return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+
+        verified = j2.map_batches(
+            VerifyJoined, batch_format="pandas", batch_size=8192, concurrency=concurrency
+        ).to_pandas()
     return (
         verified.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])

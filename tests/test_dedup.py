@@ -51,6 +51,16 @@ class TestNearDup:
         lsh_pairs = set(zip(lsh["a"], lsh["b"]))
         assert lsh_pairs == exact_pairs
 
+    def test_minhash_distributed_paths_equal(self, docs_ds):
+        """Force the scale paths (band self-join + text re-joins via
+        band_limit=0 / pair_limit=0): identical result to the
+        driver-side small path."""
+        small = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5)
+        big = dedup.minhash_lsh_pairs(
+            docs_ds, threshold=0.5, band_limit=0, pair_limit=0
+        )
+        assert list(map(tuple, small.values)) == list(map(tuple, big.values))
+
     def test_minhash_signature_deterministic(self):
         stage = dedup.MinHashStage()
         s1 = stage.signature(DOCS[0]["text"])
