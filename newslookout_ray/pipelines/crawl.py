@@ -485,23 +485,66 @@ def _missing_rows_table(missing_urls, sel_rows, module: str) -> pa.Table:
 
 
 class _RoundCollector:
-    """Tiny per-round actor accumulating (a) per-batch metric partials and
-    (b) the matched url lists (broadcast path's missing-url detection).
-    Entries are keyed by the batch's content fingerprint, so Ray task
-    retries overwrite rather than double-count."""
+    """Tiny per-round actor accumulating (a) per-batch metric partials,
+    (b) the matched url lists (broadcast path's missing-url detection),
+    and (c) the politeness pass's selected rows — so the selected set
+    reaches the driver DURING the politeness execution instead of via a
+    separate filter+collect execution per round. Entries are keyed by
+    the batch's content fingerprint, so Ray task retries overwrite
+    rather than double-count. Selected storage is capped: past
+    ``sel_cap`` rows the tables are dropped and overflow is flagged —
+    the round then switches to the distributed join path and the driver
+    never holds an over-limit frontier."""
 
-    def __init__(self):
+    def __init__(self, sel_cap: int = 1 << 62):
         self.metrics: dict = {}
         self.matched: dict = {}
+        self.selected: dict = {}
+        self.sel_cap = sel_cap
+        self.sel_rows_total = 0
+        self.overflow = False
 
     def add(self, fp: str, metrics_df, urls) -> bool:
         self.metrics[fp] = metrics_df
         self.matched[fp] = urls
         return True
 
+    def add_selected(self, fp: str, table) -> bool:
+        if self.overflow:
+            return True
+        if fp not in self.selected:
+            self.sel_rows_total += table.num_rows
+        self.selected[fp] = table
+        if self.sel_rows_total > self.sel_cap:
+            self.selected = {}
+            self.overflow = True
+        return True
+
+    def selected_result(self):
+        return (None, True) if self.overflow else (list(self.selected.values()), False)
+
     def results(self):
         urls = [u for v in self.matched.values() for u in v]
         return list(self.metrics.values()), urls
+
+
+def make_selected_reporter(collector):
+    """Pass-through stage after the politeness split: ships each block's
+    SELECTED rows to the round collector (fingerprint-keyed, retry-safe)
+    while the split stream continues to the materialize — the selected
+    set costs no extra dataset execution."""
+    import hashlib
+
+    def stage(batch: pa.Table) -> pa.Table:
+        import ray
+
+        sel = batch.filter(batch["selected"])
+        if sel.num_rows:
+            fp = hashlib.sha1("\n".join(sel["url"].to_pylist()).encode("utf-8")).hexdigest()[:16]
+            ray.get(collector.add_selected.remote(fp, sel.drop_columns(["selected"])))
+        return batch
+
+    return stage
 
 
 def _partial_metrics_df(batch: pa.Table, parts: int) -> pd.DataFrame:
@@ -772,20 +815,24 @@ class CrawlRun:
 
         # Execution 1 — ONE shuffle: seen/robots filter (lazy tasks) feeds
         # the fused dedup + politeness split, which emits selected AND
-        # deferred rows together; materialized once (frozen before this
-        # round's fetches mutate the seen set).
+        # deferred rows together; a pass-through reporter ships each
+        # block's selected rows to the round collector IN the same
+        # execution (capped at broadcast_limit — an over-limit frontier
+        # never lands on the driver); materialized once (frozen before
+        # this round's fetches mutate the seen set).
+        collector = ray.remote(num_cpus=0)(_RoundCollector).remote(cfg.broadcast_limit)
         unseen = frontier.map_batches(
             make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
         )
-        split = politeness_split(
-            unseen, cfg.per_host_budget, cfg.max_pending_attempts
-        ).materialize()
+        split = (
+            politeness_split(unseen, cfg.per_host_budget, cfg.max_pending_attempts)
+            .map_batches(
+                make_selected_reporter(collector), batch_format="pyarrow", batch_size=None
+            )
+            .materialize()
+        )
         _mark("politeness")
 
-        selected = split.map_batches(
-            lambda t: t.filter(t["selected"]).drop_columns(["selected"]),
-            batch_format="pyarrow",
-        )
         deferred = split.map_batches(
             lambda t: t.filter(pc.invert(t["selected"])).drop_columns(
                 ["selected", "order_in_host"]
@@ -793,16 +840,20 @@ class CrawlRun:
             batch_format="pyarrow",
         )
 
-        # Broadcast vs hash-join fetch path, switched on selected-set
-        # size: limit(N+1)+collect ships at most N+1 rows to the driver,
-        # so an over-limit frontier never materializes driver-side.
-        probe = collect_table(selected.limit(cfg.broadcast_limit + 1))
-        broadcast = probe.num_rows <= cfg.broadcast_limit
-        collector = ray.remote(num_cpus=0)(_RoundCollector).remote()
+        sel_tables, overflow = ray.get(collector.selected_result.remote())
+        broadcast = not overflow
         sel_rows: dict = {}
 
         if broadcast:
-            selected_tbl = probe
+            selected_tbl = (
+                pa.concat_tables(sel_tables)
+                if sel_tables
+                else pa.Table.from_arrays(
+                    [pa.array([], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names]
+                    + [pa.array([], pa.int64())],
+                    names=list(FRONTIER_SCHEMA.names) + ["order_in_host"],
+                )
+            )
             sel_count = selected_tbl.num_rows
             sel_rows = {row["url"]: row for row in selected_tbl.to_pylist()}
             # broadcast the Arrow table (plasma-shared), not the python
@@ -823,6 +874,10 @@ class CrawlRun:
             # hash-join path: the selected frontier stays distributed.
             # Bucket pruning still applies — the distinct bucket set is
             # tiny (≤ n_page_buckets) however large the frontier.
+            selected = split.map_batches(
+                lambda t: t.filter(t["selected"]).drop_columns(["selected"]),
+                batch_format="pyarrow",
+            )
             n_buckets = cfg.n_page_buckets
 
             def batch_buckets(t: pa.Table) -> pa.Table:

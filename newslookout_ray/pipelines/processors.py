@@ -234,12 +234,38 @@ def near_dedup_articles_stage(df: pd.DataFrame) -> pd.DataFrame:
 # the chain
 # ---------------------------------------------------------------------------
 
-#: (priority, name, stage, kind): kind 'fn' = stateless map_batches,
-#: 'actor' = actor-pool map_batches, 'group_pubdate' = per-date map_groups.
+#: process-level stage cache: compiled regex packs / stub "weights" are
+#: built once per worker PROCESS, so the chain runs as stateless tasks
+#: on the warm worker pool — per-run actor-pool spawns were ~10 s of
+#: parallelism-independent latency per chain invocation (the same
+#: task-not-pool choice the crawl makes for its per-round stages).
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(cls):
+    inst = _STAGE_CACHE.get(cls)
+    if inst is None:
+        inst = cls()
+        _STAGE_CACHE[cls] = inst
+    return inst
+
+
+def keyword_flags_fn(batch: pa.Table) -> pa.Table:
+    return _cached_stage(KeywordFlagsStage)(batch)
+
+
+def sentiment_fn(batch: pa.Table) -> pa.Table:
+    return _cached_stage(SentimentStage)(batch)
+
+
+#: (priority, name, stage, kind): kind 'fn' = stateless map_batches
+#: (process-cached state), 'actor' = actor-pool map_batches (for stages
+#: whose state is too expensive to build once per process — a real model
+#: checkpoint would use this), 'group_pubdate' = per-date map_groups.
 DEFAULT_CHAIN = [
     (1, "dataprep", dataprep_stage, "fn"),
-    (2, "keyword_flags", KeywordFlagsStage, "actor"),
-    (3, "sentiment", SentimentStage, "actor"),
+    (2, "keyword_flags", keyword_flags_fn, "fn"),
+    (3, "sentiment", sentiment_fn, "fn"),
     (4, "near_dedup", near_dedup_articles_stage, "group_pubdate"),
 ]
 
@@ -247,10 +273,10 @@ DEFAULT_CHAIN = [
 def run_processor_chain(articles, chain=None, concurrency: int = 2):
     """Apply the processor stages in ascending priority order (O1).
 
-    Actor stages use AUTOSCALING pools ``(1, concurrency)`` — two chained
-    fixed-size pools that together reserve every CPU starve the upstream
-    read tasks and deadlock the streaming executor (observed live at
-    2×24 pools on 32 CPUs). Size ``concurrency`` ≤ cpus // n_actor_stages.
+    If you add 'actor' stages: use AUTOSCALING pools ``(1, concurrency)``
+    — two chained fixed-size pools that together reserve every CPU starve
+    the upstream read tasks and deadlock the streaming executor (observed
+    live at 2×24 pools on 32 CPUs). Size ``concurrency`` ≤ cpus // pools.
     """
     if chain is None:
         chain = DEFAULT_CHAIN
