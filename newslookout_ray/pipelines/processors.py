@@ -209,25 +209,42 @@ def near_dedup_articles_stage(df: pd.DataFrame) -> pd.DataFrame:
     date directory (base_plugin.py:449-488).
     """
     df = df.reset_index(drop=True)
-    n = len(df)
     vecs = _bag_vectors(list(df["text"])).astype(np.float32)
     sizes = df["text"].str.len().to_numpy()
-    modules = df["module"].to_numpy()
-    # Exact chunked screen: same candidate set as the reference's
-    # all-pairs loop, O(chunk·n) memory (one hot publish date no longer
-    # OOMs the group), with the loop's skip predicates applied as
-    # vectorized masks. Survivors arrive in (i, j) lexicographic order —
-    # the order the reference's loop visits them — so greedy marking is
-    # outcome-identical.
-    cand = _chunked_candidates(vecs, sizes, modules)
-    dup_of = np.full(n, -1, dtype=np.int64)
-    for i, j in cand:
-        if dup_of[i] >= 0 or dup_of[j] >= 0:
-            continue
-        loser = i if sizes[i] < sizes[j] else j
-        dup_of[loser] = j if loser == i else i
-    df["is_duplicate"] = dup_of >= 0
+    # url is the deterministic processing order; positional fallback for
+    # url-less frames (unit tests / ad-hoc use)
+    order = df["url"].to_numpy() if "url" in df.columns else np.arange(len(df))
+    df["is_duplicate"] = _greedy_dup_flags(order, vecs, sizes, df["module"].to_numpy())
     return df
+
+
+def _greedy_dup_flags(
+    urls: np.ndarray, vecs: np.ndarray, sizes: np.ndarray, modules: np.ndarray
+) -> np.ndarray:
+    """Greedy duplicate marking over the exact chunked screen.
+
+    Rows are processed in URL-sorted order so the outcome is
+    deterministic regardless of how the shuffle delivered the group
+    (the reference visits its date-directory listing — a fixed order;
+    url order is the engine's fixed order). The chunked screen yields
+    the same candidate set as the reference's all-pairs loop with its
+    skip predicates pre-applied as vectorized masks; survivors are
+    visited in (i, j) lexicographic order, so greedy marking matches
+    the all-pairs formulation exactly."""
+    n = len(urls)
+    perm = np.argsort(urls, kind="stable")
+    cand = _chunked_candidates(vecs[perm], sizes[perm], modules[perm])
+    sizes_s = sizes[perm]
+    dup_sorted = np.zeros(n, dtype=bool)
+    for i, j in cand:
+        # skip pairs touching an already-marked duplicate; the winner of
+        # a comparison stays eligible (reference loop's dup_of check)
+        if dup_sorted[i] or dup_sorted[j]:
+            continue
+        dup_sorted[i if sizes_s[i] < sizes_s[j] else j] = True
+    out = np.zeros(n, dtype=bool)
+    out[perm] = dup_sorted
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -258,19 +275,62 @@ def sentiment_fn(batch: pa.Table) -> pa.Table:
     return _cached_stage(SentimentStage)(batch)
 
 
+_DEDUP_DIM = 128
+
+
+def featurize_for_dedup(batch: pa.Table) -> pa.Table:
+    """Compact per-article projection for the near-dedup shuffle: the
+    decision rule needs only (url, module, pubdate, size, bag vector) —
+    shuffling these ~0.6 KB rows instead of full article text keeps the
+    date groupby's exchange and group materialization cheap."""
+    texts = batch["text"].to_pylist()
+    vecs = _bag_vectors(texts, _DEDUP_DIM).astype(np.float32)
+    sizes = pa.array([len(t or "") for t in texts], pa.int64())
+    vec_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(vecs.reshape(-1), pa.float32()), _DEDUP_DIM
+    )
+    return pa.table(
+        {
+            "url": batch["url"],
+            "module": batch["module"],
+            "pubdate": batch["pubdate"],
+            "size": sizes,
+            "vec": vec_col,
+        }
+    )
+
+
+def near_dedup_marks_group(tbl: pa.Table) -> pa.Table:
+    """Per-pubdate group over the compact projection → (url, is_duplicate)."""
+    urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+    vecs = (
+        tbl["vec"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(-1, _DEDUP_DIM)
+        .astype(np.float32)
+    )
+    sizes = tbl["size"].to_numpy(zero_copy_only=False)
+    modules = np.asarray(tbl["module"].to_pylist(), dtype=object)
+    dup = _greedy_dup_flags(urls, vecs, sizes, modules)
+    return pa.table({"url": tbl["url"], "is_duplicate": pa.array(dup)})
+
+
 #: (priority, name, stage, kind): kind 'fn' = stateless map_batches
 #: (process-cached state), 'actor' = actor-pool map_batches (for stages
 #: whose state is too expensive to build once per process — a real model
-#: checkpoint would use this), 'group_pubdate' = per-date map_groups.
+#: checkpoint would use this), 'dedup_marks' = the compact-projection
+#: near-dedup (featurize → date groupby over vectors → marks attached
+#: back), 'group_pubdate' = generic per-date map_groups over full rows.
 DEFAULT_CHAIN = [
     (1, "dataprep", dataprep_stage, "fn"),
     (2, "keyword_flags", keyword_flags_fn, "fn"),
     (3, "sentiment", sentiment_fn, "fn"),
-    (4, "near_dedup", near_dedup_articles_stage, "group_pubdate"),
+    (4, "near_dedup", near_dedup_marks_group, "dedup_marks"),
 ]
 
 
-def run_processor_chain(articles, chain=None, concurrency: int = 2):
+def run_processor_chain(
+    articles, chain=None, concurrency: int = 2, marks_broadcast_limit: int = 5_000_000
+):
     """Apply the processor stages in ascending priority order (O1).
 
     If you add 'actor' stages: use AUTOSCALING pools ``(1, concurrency)``
@@ -288,8 +348,76 @@ def run_processor_chain(articles, chain=None, concurrency: int = 2):
             out = out.map_batches(
                 stage, batch_format="pyarrow", concurrency=(1, max(1, concurrency))
             )
+        elif kind == "dedup_marks":
+            out = _attach_dedup_marks(out, stage, marks_broadcast_limit)
         elif kind == "group_pubdate":
             out = out.groupby("pubdate").map_groups(stage, batch_format="pandas")
         else:
             raise ValueError(kind)
     return out
+
+
+_FLAGS_CACHE: dict = {}
+
+
+def _cached_flags(flags_ref) -> dict:
+    """Per-worker deserialized url->is_duplicate dict for the broadcast
+    marks table (same pattern as crawl._cached_sel_map)."""
+    import ray
+
+    key = flags_ref.hex() if hasattr(flags_ref, "hex") else id(flags_ref)
+    cached = _FLAGS_CACHE.get(key)
+    if cached is None:
+        tbl = ray.get(flags_ref)
+        cached = dict(zip(tbl["url"].to_pylist(), tbl["is_duplicate"].to_pylist()))
+        _FLAGS_CACHE.clear()  # one live chain at a time
+        _FLAGS_CACHE[key] = cached
+    return cached
+
+
+def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int):
+    """Compact near-dedup flow: materialize the enriched articles once,
+    shuffle only (url, module, pubdate, size, vec) through the date
+    groupby, then attach the (url, is_duplicate) marks back — broadcast
+    when the marks table fits (probed with limit(N+1)), hash-join on url
+    otherwise. Shuffling full article text through the date groupby and
+    converting it to pandas per group was the chain's dominant cost."""
+    import ray
+
+    from ..util import collect_table
+
+    out = out.materialize()
+    marks = (
+        out.map_batches(featurize_for_dedup, batch_format="pyarrow")
+        .groupby("pubdate")
+        .map_groups(group_stage, batch_format="pyarrow")
+    )
+    probe = collect_table(marks.limit(marks_broadcast_limit + 1))
+    if probe.num_rows <= marks_broadcast_limit:
+        # broadcast the Arrow table (plasma-shared zero-copy); each worker
+        # builds the url->flag dict ONCE via the process-level cache — a
+        # plain dict broadcast re-unpickles on every ray.get per batch
+        flags_ref = ray.put(probe.select(["url", "is_duplicate"]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            flags = _cached_flags(flags_ref)
+            col = pa.array(
+                [bool(flags.get(u, False)) for u in batch["url"].to_pylist()]
+            )
+            return batch.append_column("is_duplicate", col)
+
+        return out.map_batches(attach, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return out.join(
+        marks,
+        join_type="left_outer",
+        num_partitions=max(2, min(16, cpus // 4)),
+        on=("url",),
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("is_duplicate"),
+            "is_duplicate",
+            pa.compute.fill_null(t["is_duplicate"], False),
+        ),
+        batch_format="pyarrow",
+    )
