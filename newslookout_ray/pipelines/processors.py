@@ -177,7 +177,10 @@ def _chunked_candidates(
     n = len(vecs)
     if n < 2:
         return np.empty((0, 2), dtype=np.int64)
-    chunk = max(64, (1 << 24) // max(1, n))  # ~64 MB float32 per slab
+    # ~8 MB float32 sims slab: large slabs (64 MB+) measured up to 40x
+    # slower AND 40x more variable on a loaded host (page-fault churn on
+    # the output buffer dominates the GEMM); small slabs stay in cache
+    chunk = max(64, (1 << 21) // max(1, n))
     out = []
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
@@ -387,8 +390,13 @@ def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int):
     from ..util import collect_table
 
     out = out.materialize()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     marks = (
         out.map_batches(featurize_for_dedup, batch_format="pyarrow")
+        # spread the compact rows over >=2x-cpu blocks so the sort-based
+        # groupby emits that many range partitions and the per-date
+        # kernels run as parallel tasks (measured 2x on the bench corpus)
+        .repartition(max(32, cpus * 2))
         .groupby("pubdate")
         .map_groups(group_stage, batch_format="pyarrow")
     )
@@ -407,7 +415,6 @@ def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int):
             return batch.append_column("is_duplicate", col)
 
         return out.map_batches(attach, batch_format="pyarrow")
-    cpus = int(ray.cluster_resources().get("CPU", 8))
     return out.join(
         marks,
         join_type="left_outer",
