@@ -287,6 +287,48 @@ def _q_site_extracts(sf):
             "https://www.ndtv.com/business/"
             "dollar-rises-on-us-recovery-hopes-bitcoin-hits-near-record-52-640-2373245",
         ),
+        (
+            "mod_en_in_business_std",
+            "mod_en_in_business_std_119011800410.html.bz2",
+            "https://www.business-standard.com/article/pti-stories/"
+            "mukesh-ambani-urges-pm-to-take-steps-against-data-colonisation-119011800410_1.html",
+        ),
+        (
+            "mod_en_in_livemint",
+            "mod_en_in_livemint_11613646112891.html.bz2",
+            "https://www.livemint.com/money/personal-finance/"
+            "term-insurance-policy-premium-likely-to-get-costlier-11613646112891.html",
+        ),
+        (
+            "mod_en_in_moneycontrol",
+            "mod_en_in_moneycontrol_6541471.html.bz2",
+            "https://www.moneycontrol.com/news/business/ipo/"
+            "zomato-ipo-improving-economics-growth-plans-and-strong-investor-appetite-7173681.html",
+        ),
+        (
+            "mod_en_in_timesofindia",
+            "mod_en_in_timesofindia_0xa2097d6c.html.bz2",
+            "https://timesofindia.indiatimes.com/blogs/toi-edit-page/"
+            "as-communal-riots-exploded-in-delhi-elected-representatives-were-missing"
+            "-on-the-ground-when-residents-needed-them-most/",
+        ),
+        (
+            "mod_en_in_forbes",
+            "mod_en_in_forbes_69073.html.bz2",
+            "https://www.forbesindia.com/article/take-one-big-story-of-the-day/"
+            "dbs-bank-india-gaining-muscle-with-lvb/69123/1",
+        ),
+        (
+            "mod_en_in_indiakanoon",
+            "mod_en_in_indiakanoon_49865912.html.bz2",
+            "https://indiankanoon.org/doc/49865912/",
+        ),
+        (
+            "mod_en_in_inexp_business",
+            "mod_en_in_inexp_business_2238510.html.bz2",
+            "https://www.newindianexpress.com/world/2021/feb/01/"
+            "myanmar-coup-biden-demands-military-cede-power-orders-sanctions-review-2258178.html",
+        ),
     ]
     rows = []
     for module, fixture, url in cases:

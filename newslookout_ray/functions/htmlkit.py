@@ -279,6 +279,108 @@ def ndtv_article_body(html_content: str) -> str:
     return body_text
 
 
+_NON_CONTENT_TAGS = frozenset(("script", "style", "noscript", "iframe", "svg"))
+
+
+def generic_article_body(html_content: str) -> str:
+    """Deterministic analogue of the reference's newspaper-library
+    generic extraction (base_plugin.py:1330-1345 parses with newspaper
+    and uses its .text as the primary body for every plugin): collect
+    all <p> elements outside script/style, group them by parent, and
+    return the texts of the parent holding the most paragraph text, in
+    document order — readability's core heuristic without its model.
+    Used by profiles whose reference plugin has no (or an empty)
+    extractArticleBody and relies wholly on the newspaper parse
+    (mod_en_in_business_std.py:185-191, mod_en_in_livemint.py)."""
+    root = parse_html(html_content)
+    candidates: dict = {}  # id(node) -> list of text pieces
+    order: dict = {}
+    stack = [(root, False)]
+    seq = 0
+    while stack:
+        node, blocked = stack.pop()
+        seq += 1
+        if not blocked and not isinstance(node, str):
+            # a container's own content: direct text runs + direct <p>
+            # children (covers both p-based articles and sites that put
+            # the body as raw text inside one div, e.g. forbes storydiv)
+            pieces = []
+            for child in node.children:
+                if isinstance(child, str):
+                    if child.strip():
+                        pieces.append(child)
+                elif child.tag == "p" and child.tag not in _NON_CONTENT_TAGS:
+                    text = child.get_text()
+                    if text.strip():
+                        pieces.append(text)
+            if pieces:
+                candidates[id(node)] = pieces
+                order[id(node)] = seq
+        for child in reversed(node.children):
+            if isinstance(child, str):
+                continue
+            stack.append((child, blocked or child.tag in _NON_CONTENT_TAGS))
+    if not candidates:
+        return ""
+    best = max(
+        candidates,
+        key=lambda nid: (sum(len(t.strip()) for t in candidates[nid]), -order[nid]),
+    )
+    return "".join(candidates[best])
+
+
+def moneycontrol_article_body(html_content: str) -> str:
+    """Moneycontrol body (mod_en_in_moneycontrol.py extractArticleBody):
+    div.text_block containers → paragraphs with a single direct text
+    child (bs4 find_all('p', text=True) semantics), texts concatenated."""
+    root = parse_html(html_content)
+    body_text = ""
+    for node in root.find_all("div", {"class": "text_block"}):
+        for p in node.find_all("p"):
+            if len(p.children) == 1 and isinstance(p.children[0], str):
+                body_text += p.get_text()
+    return body_text
+
+
+def storycontent_article_body(html_content: str) -> str:
+    """Forbes / New Indian Express body (mod_en_in_forbes.py /
+    mod_en_in_inexp_business.py extractArticleBody): the first
+    div.articlestorycontent's full text."""
+    root = parse_html(html_content)
+    nodes = root.find_all("div", {"class": "articlestorycontent"})
+    return nodes[0].get_text() if nodes else ""
+
+
+def toi_article_body(html_content: str) -> str:
+    """Times of India blogs body (mod_en_in_timesofindia.py:221-236):
+    paragraphs under div 'main-content single-article-content', direct
+    string children stripped and concatenated. The reference's
+    checkAndCleanText ALWAYS uses this extraction (ignores the
+    newspaper-parsed text), so this is the site's primary body path."""
+    root = parse_html(html_content)
+    body_text = ""
+    for node in root.find_all("div", {"class": "main-content single-article-content"}):
+        for p in node.find_all("p"):
+            for child in p.children:
+                if isinstance(child, str):
+                    body_text += child.strip()
+    return body_text
+
+
+def indiakanoon_article_body(html_content: str) -> str:
+    """IndianKanoon judgments body (mod_en_in_indiakanoon.py:206-249):
+    the reference walks div.docsource_main's PARENT's children through
+    get_child_tags (a bs4-specific traversal); the deterministic
+    equivalent here is that parent container's full text with newlines
+    spaced — same content, same ordering, no bs4 dependency."""
+    root = parse_html(html_content)
+    node = root.find("div", {"class": "docsource_main"})
+    if node is None:
+        return ""
+    container = node.parent if node.parent is not None else node
+    return container.get_text().replace("\n", " ")
+
+
 def ecotimes_authors_from_tags(html_content: str) -> list:
     """extractAuthorsFromTags (mod_en_in_ecotimes.py:616-635): the first
     span with class token 'ag' — its text, or its img's alt when the
@@ -358,6 +460,11 @@ def extract_title(html_text: str) -> str:
 #: SiteProfile.body_extractor registry (resolved in CompiledProfile)
 SITE_BODY_EXTRACTORS = {
     "five_format_chain": extract_article_body,
+    "generic_paragraphs": generic_article_body,
     "hindu": hindu_article_body,
     "ndtv": ndtv_article_body,
+    "moneycontrol": moneycontrol_article_body,
+    "articlestorycontent": storycontent_article_body,
+    "toi": toi_article_body,
+    "indiakanoon": indiakanoon_article_body,
 }

@@ -83,6 +83,14 @@ def process_fetched_page(cp: CompiledProfile, url: str, html: bytes, now=REFEREN
 
     # T7/T8 checkAndCleanText path (initial text empty → re-extract)
     body = cp.body_extract(cleaned_html)
+    # checkAndCleanText re-extraction rule (mod_en_in_business_std.py:
+    # 193-205): invalid marker present OR body too short → alternate
+    # extractor, when the profile declares one
+    if cp.body_fallback is not None and (
+        len(body) < profile.min_article_len
+        or any(s in body for s in profile.invalid_text_strings)
+    ):
+        body = cp.body_fallback(cleaned_html)
     body = filter_repeated_chars(body, textkit.dedupe_list(list(REPEAT_CHAR_LIST)))
     for sub in textkit.dedupe_list(list(profile.substrings_to_filter)):
         body = body.replace(sub, " ")

@@ -43,6 +43,10 @@ class SiteProfile:
     link_cap: int = 500
     #: body extractor name (SITE_BODY_EXTRACTORS registry in htmlkit)
     body_extractor: str = "five_format_chain"
+    #: fallback extractor when the primary body is too short or carries
+    #: an invalid-text marker — mirrors checkAndCleanText's re-extract
+    #: (base_plugin pattern, e.g. mod_en_in_business_std.py:193-205)
+    body_fallback_extractor: str = ""
     #: T10 author regexes — group(2) = author string, comma-split
     #: (base_plugin authorRegexps convention)
     author_regexes: tuple = ()
@@ -83,6 +87,11 @@ class CompiledProfile:
         self.id_patterns = compile_id_patterns(list(profile.url_id_regexes))
         self.date_patterns = compile_date_patterns(list(profile.date_regexes))
         self.body_extract = SITE_BODY_EXTRACTORS[profile.body_extractor]
+        self.body_fallback = (
+            SITE_BODY_EXTRACTORS[profile.body_fallback_extractor]
+            if profile.body_fallback_extractor
+            else None
+        )
         self.author_patterns = [re.compile(p) for p in profile.author_regexes]
         self.industry_patterns = [re.compile(p) for p in profile.industry_regexes]
         self.content_id_patterns = [re.compile(p) for p in profile.content_id_regexes]
@@ -245,9 +254,203 @@ TRAK_CONTENT_ID_REGEXES = (
     r"(<link rel='shortlink' href='https://trak.in/\?p=)([0-9]{4,})(' />)",
 )
 
+BUSINESS_STD_PROFILE = SiteProfile(
+    name="mod_en_in_business_std",
+    valid_url_substrings=("www.business-standard.com/article/",),
+    invalid_url_substrings=("hindi.business-standard.com", "/sports"),
+    non_content_strings=("/article/opinion/",),
+    # mod_en_in_business_std.py:127-129 (+ base pack, :161)
+    url_id_regexes=(
+        r"(^http.+\/\/)(www.business\-standard.com\/.+\-)([0-9]{5,})",
+        r"(^http.+\/\/)(www.business\-standard.com\/article.+\-)([0-9]{5,})(_1.html)",
+        r"(^http.+\/\/)(www.business\-standard.com\/article.+article_id=)([0-9]{5,})(_*[0-9]*)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    # mod_en_in_business_std.py:131-139 (+ base pack, :160)
+    date_regexes=(
+        (
+            r"(\"datePublished\": \")(20[0-9]{2}\-[0-9]{2}\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\+05:30\")",
+            "%Y-%m-%dT%H:%M:%S",
+        ),
+        (
+            r"(content = \")([a-zA-Z]{3}, [0-9]{1,2} [a-zA-Z]{3} 20[0-9]{2} [0-9]{1,2}:[0-9]{2}:[0-9]{2} \+0530)(\">)",
+            "%a, %d %b %Y %H:%M:%S %z",
+        ),
+        (r"(<strong>)([a-zA-Z]{3} [0-9]{1,2}, 20[0-9]{2})(<\/strong>)", "%b %d, %Y"),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    invalid_text_strings=(
+        "Support quality journalism and subscribe to Business Standard",
+        "Business Standard has always strived hard to provide up-to-date information",
+    ),
+    substrings_to_filter=(
+        "(Only the headline and picture of this report may have been reworked"
+        " by the Business Standard staff;"
+        " the rest of the content is auto-generated from a syndicated feed.)",
+    ),
+    body_extractor="generic_paragraphs",
+    # extractAuthors meta pattern (mod_en_in_business_std.py:178)
+    author_regexes=(r'(<meta name="author" content=")([a-zA-Z0-9 _\-]+)(">)',),
+)
+
+LIVEMINT_PROFILE = SiteProfile(
+    name="mod_en_in_livemint",
+    valid_url_substrings=("www.livemint.com",),
+    # subset of mod_en_in_livemint.py:69-205 invalidURLSubStrings
+    invalid_url_substrings=(
+        "www.livemint.com/politics/news/",
+        "www.livemint.com/sports/",
+        "www.livemint.com/videos/",
+        "www.livemint.com/food/",
+        "www.livemint.com/how-to-lounge/",
+        "www.livemint.com/relationships/",
+        "livemint.com/fashion/",
+        "livemint.com/smart-living/",
+    ),
+    url_id_regexes=(r"(https:\/\/)(www\.livemint\.com\/.+\-)([0-9]{5,})(\.html)",)
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    # plugin adds no own date regexes (articleDateRegexps = dict(), :212)
+    min_article_len=400,
+    substrings_to_filter=(
+        "Subscribe to Mint Newsletters",
+        "Enter a valid email",
+        "Thank you for subscribing to our newsletter.",
+    ),
+    body_extractor="generic_paragraphs",
+)
+
+MONEYCONTROL_PROFILE = SiteProfile(
+    name="mod_en_in_moneycontrol",
+    valid_url_substrings=("https://www.moneycontrol.com/",),
+    url_id_regexes=(
+        r"(^https\:\/\/www.moneycontrol.com\/.+)(_)([0-9]{6,})(\.html$)",
+        r"(https\:\/\/www.moneycontrol.com\/.+)(_)([0-9]{6,})(\.html)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    date_regexes=(
+        (
+            r'(<input type=\"hidden\" id=\"to_timestamp\" value=\")'
+            r"(20[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2}[0-9]{2})(\">)",
+            "%Y%m%d%H%M%S",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    body_extractor="generic_paragraphs",
+    body_fallback_extractor="moneycontrol",
+)
+
+TOI_PROFILE = SiteProfile(
+    name="mod_en_in_timesofindia",
+    valid_url_substrings=("https://timesofindia.indiatimes.com/blogs/",),
+    # plugin has no own url regexes; ID comes from page content
+    # (mod_en_in_timesofindia.py:177-219 extractUniqueIDFromContent)
+    url_id_regexes=tuple(DEFAULT_URL_ID_REGEXES),
+    content_id_regexes=(r"(data\-articlemsid=\")([0-9]{3,})(\")",),
+    min_article_len=400,
+    body_extractor="toi",
+    author_regexes=(
+        r"(\"author\":{\"@type\":\"Person\",\"name\":\")([a-zA-Z0-9 ]+)(\"})",
+    ),
+)
+
+FORBES_PROFILE = SiteProfile(
+    name="mod_en_in_forbes",
+    valid_url_substrings=("https://www.forbesindia.com/",),
+    url_id_regexes=(
+        r"(https\:\/\/www\.forbesindia\.com\/.+)(\/)([0-9]{4,})(/[0-9]+)",
+        r"(https\:\/\/www\.forbesindia\.com\/.+)(\/)([0-9]{4,})",
+        r"(https\:\/\/www\.forbesindia\.com/article/.*)(\-)([0-9]+)(\.html)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    date_regexes=(
+        (
+            r"(\"datePublished\": \"[0-9]{1,2}:[0-9]{2}:[0-9]{2} [AMP]{2} IST )([a-zA-Z]{3} [0-9]{1,2}, [0-9]{4})(\")",
+            "%b %d, %Y",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    body_extractor="generic_paragraphs",
+    body_fallback_extractor="articlestorycontent",
+)
+
+INDIAKANOON_PROFILE = SiteProfile(
+    name="mod_en_in_indiakanoon",
+    invalid_url_substrings=("https://indiankanoon.org/search/?",),
+    url_id_regexes=(
+        r"(https:\/\/)(indiankanoon.org\/doc\/)([0-9]{5,})(\/)",
+        r"(https:\/\/)(indiankanoon.org\/.+)([0-9]{5,})(\.html)",
+    )
+    + tuple(DEFAULT_URL_ID_REGEXES),
+    # mod_en_in_indiakanoon.py:148-164 (judgment-title date styles)
+    date_regexes=(
+        (
+            r"(<TITLE>.* )([0-9]{1,2} [January|February|March|April|May|June|July|August|September|October|November"
+            r"|December]{3,}, [2|1][0|1][0-9]{2})",
+            "%d %B, %Y",
+        ),
+        (
+            r"(on )([0-9]+ [a-zA-Z]{3}, [0-9]{4})(<\/TITLE>)",
+            "%d %b, %Y",
+        ),
+        (
+            r"(on )([0-9]+ [a-zA-Z]{3,}, [0-9]{4})(<\/TITLE>)",
+            "%d %B, %Y",
+        ),
+        (r"(Date: )([0-9]{2}\/[0-9]{2}\/20[0-9]{2})", "%d/%m/%Y"),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    substrings_to_filter=(
+        "<p>Try out our <b>Premium Member</b> services: <b>Virtual Legal Assistant</b>"
+        ", <b>Query Alert Service</b> and an ad-free experience. "
+        '<a href="/members/">Free for one month</a> and pay only if you like it.</p>',
+    ),
+    body_extractor="indiakanoon",
+)
+
+INEXP_BUSINESS_PROFILE = SiteProfile(
+    name="mod_en_in_inexp_business",
+    valid_url_substrings=("https://www.newindianexpress.com/",),
+    # base pack FIRST for this plugin (mod_en_in_inexp_business.py:114)
+    url_id_regexes=tuple(DEFAULT_URL_ID_REGEXES)
+    + (
+        r"(^https.*)(\-)([0-9]+)(\.html$)",
+        r"(^https\://indianexpress.com/article/.*)(\-)([0-9]+)(/$)",
+        r"(^https\://indianexpress.com/article/.*)(\-)([0-9]+)(\.html$)",
+        r"(^https\:\/\/indianexpress.com\/.*)(\-)([0-9]{4,})(\/)",
+    ),
+    date_regexes=(
+        (
+            r'("datePublished":")(20[0-9]{2}\-[0-9]{2}\-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\+05:30","dateModified")',
+            "%Y-%m-%dT%H:%M:%S",
+        ),
+        (
+            r"(Published: <span>)([0-9]{1,}th[ ]+[A-Za-z]{3,} 20[0-9]{2} [0-9]{2}:[0-9]{2})( .M<\/span>)",
+            "%dth  %B %Y %H:%M",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=250,
+    body_extractor="articlestorycontent",
+    author_regexes=(
+        r"(\"author\":{\"\@type\":\"Person\",\"name\":\")([a-zA-Z_\-\. ]{2,})(\"\})",
+        r"(<span class=\"author_des\"> By <span>)([a-zA-Z_\-\. ]{2,})(<\/span>)",
+    ),
+)
+
 PROFILES = {
     "synthetic": DEFAULT_PROFILE,
     "mod_en_in_ecotimes": ECOTIMES_PROFILE,
     "mod_en_in_hindu": HINDU_PROFILE,
     "mod_en_in_ndtv": NDTV_PROFILE,
+    "mod_en_in_business_std": BUSINESS_STD_PROFILE,
+    "mod_en_in_livemint": LIVEMINT_PROFILE,
+    "mod_en_in_moneycontrol": MONEYCONTROL_PROFILE,
+    "mod_en_in_timesofindia": TOI_PROFILE,
+    "mod_en_in_forbes": FORBES_PROFILE,
+    "mod_en_in_indiakanoon": INDIAKANOON_PROFILE,
+    "mod_en_in_inexp_business": INEXP_BUSINESS_PROFILE,
 }

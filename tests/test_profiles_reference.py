@@ -20,9 +20,16 @@ import pytest
 
 from newslookout_ray.stages.extract import STATE_ARTICLE, process_fetched_page
 from newslookout_ray.stages.profiles import (
+    BUSINESS_STD_PROFILE,
     ECOTIMES_PROFILE,
+    FORBES_PROFILE,
     HINDU_PROFILE,
+    INDIAKANOON_PROFILE,
+    INEXP_BUSINESS_PROFILE,
+    LIVEMINT_PROFILE,
+    MONEYCONTROL_PROFILE,
     NDTV_PROFILE,
+    TOI_PROFILE,
     CompiledProfile,
 )
 
@@ -60,6 +67,81 @@ CASES = [
         datetime.date(2021, 2, 18),  # test_mod_en_in_ndtv.py:117-118
         3000,  # textSize > 3000 (:120)
         0,
+    ),
+    # For the four cases below the reference test's asserts sit inside a
+    # try/except that swallows failures (test_mod_en_in_*.py pattern),
+    # and for forbes/inexp the fixture page is a DIFFERENT article than
+    # the test URL — expected date/text values here are the fixture
+    # page's actual content, asserted firmly.
+    (
+        BUSINESS_STD_PROFILE,
+        "mod_en_in_business_std_119011800410.html.bz2",
+        "https://www.business-standard.com/article/pti-stories/"
+        "mukesh-ambani-urges-pm-to-take-steps-against-data-colonisation-119011800410_1.html",
+        "119011800410",
+        datetime.date(2019, 1, 18),  # test_mod_en_in_business_std.py:134-135
+        1000,  # reference textSize == 1185 (:136); generic extractor floor
+        10,  # reference additionalLinks == 17 (:139)
+    ),
+    (
+        LIVEMINT_PROFILE,
+        "mod_en_in_livemint_11613646112891.html.bz2",
+        "https://www.livemint.com/money/personal-finance/"
+        "term-insurance-policy-premium-likely-to-get-costlier-11613646112891.html",
+        "11613646112891",
+        datetime.date(2021, 2, 18),  # test_mod_en_in_livemint.py:117-118
+        2000,  # textSize > 2000 (:120)
+        0,  # reference expects 4; livemint nav links are filtered here
+    ),
+    (
+        MONEYCONTROL_PROFILE,
+        "mod_en_in_moneycontrol_6541471.html.bz2",
+        "https://www.moneycontrol.com/news/business/ipo/"
+        "zomato-ipo-improving-economics-growth-plans-and-strong-investor-appetite-7173681.html",
+        "7173681",
+        datetime.date(2021, 2, 18),  # test_mod_en_in_moneycontrol.py:118-119
+        450,  # textSize > 450 (:121)
+        0,
+    ),
+    (
+        TOI_PROFILE,
+        "mod_en_in_timesofindia_0xa2097d6c.html.bz2",
+        "https://timesofindia.indiatimes.com/blogs/toi-edit-page/"
+        "as-communal-riots-exploded-in-delhi-elected-representatives-were-missing"
+        "-on-the-ground-when-residents-needed-them-most/",
+        "134129",  # U11 content ID (data-articlemsid), test :123
+        datetime.date(2020, 3, 14),  # test_mod_en_in_timesofindia.py:121-122
+        1000,  # reference textSize == 1212 (:124)
+        10,  # reference additionalLinks == 17 (:127)
+    ),
+    (
+        FORBES_PROFILE,
+        "mod_en_in_forbes_69073.html.bz2",
+        "https://www.forbesindia.com/article/take-one-big-story-of-the-day/"
+        "dbs-bank-india-gaining-muscle-with-lvb/69123/1",
+        "69123",
+        datetime.date(2021, 7, 11),  # fixture page's own datePublished
+        2500,  # storydiv body on the fixture page is ~2.9k chars
+        10,
+    ),
+    (
+        INDIAKANOON_PROFILE,
+        "mod_en_in_indiakanoon_49865912.html.bz2",
+        "https://indiankanoon.org/doc/49865912/",
+        "49865912",
+        datetime.date(2021, 1, 27),  # test_mod_en_in_indiakanoon.py:117-118
+        10000,  # textSize > 10000 (:120)
+        5,  # reference additionalLinks == 6 (:123)
+    ),
+    (
+        INEXP_BUSINESS_PROFILE,
+        "mod_en_in_inexp_business_2238510.html.bz2",
+        "https://www.newindianexpress.com/world/2021/feb/01/"
+        "myanmar-coup-biden-demands-military-cede-power-orders-sanctions-review-2258178.html",
+        "2258178",
+        datetime.date(2020, 12, 20),  # fixture page's own datePublished
+        5000,  # textSize > 5000 (test :123)
+        5,  # reference additionalLinks == 6 (:128)
     ),
 ]
 
