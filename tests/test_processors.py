@@ -62,6 +62,25 @@ class TestChain:
         kept_other = out[out["text"].str.startswith("calm")]
         assert not kept_other["is_duplicate"].any()
 
+    def test_marks_join_path_equals_broadcast(self, articles_ds):
+        """marks_broadcast_limit=0 forces the url hash-join attach path;
+        result must equal the (default) broadcast attach path."""
+        import ray.data
+
+        a = pr.run_processor_chain(articles_ds).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            pr.run_processor_chain(
+                ray.data.from_arrow(_articles_table()), marks_broadcast_limit=0
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = b[a.columns]
+        assert a["is_duplicate"].sum() == 1
+        for col in ("url", "is_duplicate", "flag_event_strike", "sent_positive"):
+            assert (a[col] == b[col]).all(), col
+
 
 class TestNearDedupChunked:
     def test_chunked_equals_allpairs_marking(self):
