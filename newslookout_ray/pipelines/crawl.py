@@ -102,6 +102,9 @@ class CrawlConfig:
     #: fetch (no shuffle); larger frontiers switch to a distributed
     #: LEFT OUTER Dataset.join on url and never touch the driver
     broadcast_limit: int = 200_000
+    #: >1 enables two-phase salted politeness (hot-host skew safety):
+    #: phase-1 groups on host#salt so no task holds a whole hot host
+    politeness_salt_k: int = 1
     metrics_partitions: int = 8
     profile: SiteProfile = field(default_factory=lambda: DEFAULT_PROFILE)
 
@@ -273,23 +276,99 @@ def politeness_split(frontier_ds, budget: int, max_attempts: int):
         return df
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        g = _dedup_sort(df).reset_index(drop=True)
-        n_sel = min(budget, len(g))
-        order = np.full(len(g), -1, dtype=np.int64)
-        order[:n_sel] = np.arange(n_sel)
-        g["order_in_host"] = order
-        g["selected"] = order >= 0
-        att = g["attempts"].to_numpy(np.int32).copy()
-        att[n_sel:] += 1
-        g["attempts"] = att
-        keep = g["selected"] | (g["attempts"] <= max_attempts)
-        return g[keep]
+        return _pick_group(df, budget, max_attempts)
 
     return (
         frontier_ds.map_batches(partial, batch_format="pandas")
         .groupby("host")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def _pick_group(df: pd.DataFrame, budget: int, max_attempts: int) -> pd.DataFrame:
+    """Per-host selection core: first ``budget`` rows in packed FIFO
+    order get order_in_host 0..B-1 / selected=True; the rest carry over
+    with attempts+1, dropped past the cap."""
+    g = _dedup_sort(df).reset_index(drop=True)
+    n_sel = min(budget, len(g))
+    order = np.full(len(g), -1, dtype=np.int64)
+    order[:n_sel] = np.arange(n_sel)
+    g["order_in_host"] = order
+    g["selected"] = order >= 0
+    att = g["attempts"].to_numpy(np.int32).copy()
+    att[n_sel:] += 1
+    g["attempts"] = att
+    keep = g["selected"] | (g["attempts"] <= max_attempts)
+    return g[keep]
+
+
+def politeness_split_salted(frontier_ds, budget: int, max_attempts: int, salt_k: int = 8):
+    """Skew-safe politeness_split: exact two-phase selection so no task
+    ever materializes a whole hot host's pending set (SURVEY §2 M4 /
+    'hot hosts salted host#k'; reference has no equivalent — its
+    per-plugin thread just runs longer, worker.py:908-1000).
+
+    Phase 1 groups on host#salt (salt = stable url-hash % k) and marks
+    each shard's first ``budget`` rows as candidates; a row outranked by
+    ``budget`` peers in its own shard is outranked by at least that many
+    in the whole host, so the global top-B is always a subset of the
+    per-shard top-Bs — non-candidates defer (attempts+1) immediately.
+    Phase 2 re-groups ONLY the <= budget*salt_k candidate rows per host
+    and applies the exact per-host pick, so selected set, order_in_host
+    and attempts are identical to politeness_split. Group memory:
+    phase 1 ~ host_pending/salt_k, phase 2 <= budget*salt_k rows."""
+    import pyarrow.compute as pc
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(pack=_pack_order(df))
+        df = (
+            df.sort_values(["pack", "url"], kind="mergesort")
+            .drop_duplicates("url", keep="first")
+            .drop(columns=["pack"])
+        )
+        salt = pd.util.hash_array(df["url"].to_numpy(object)) % np.uint64(salt_k)
+        return df.assign(hs=df["host"] + "#" + salt.astype(np.int64).astype(str))
+
+    def local_pick(df: pd.DataFrame) -> pd.DataFrame:
+        g = _dedup_sort(df).reset_index(drop=True)
+        g["cand"] = np.arange(len(g)) < budget
+        return g
+
+    phase1 = (
+        frontier_ds.map_batches(partial, batch_format="pandas")
+        .groupby("hs")
+        .map_groups(local_pick, batch_format="pandas")
+        .materialize()
+    )
+    deferred = phase1.map_batches(
+        lambda t: _defer_non_candidates(t, max_attempts), batch_format="pyarrow"
+    )
+    picked = (
+        phase1.map_batches(
+            lambda t: t.filter(t["cand"]).drop_columns(["hs", "cand"]),
+            batch_format="pyarrow",
+        )
+        .groupby("host")
+        .map_groups(
+            lambda df: _pick_group(df, budget, max_attempts), batch_format="pandas"
+        )
+    )
+    return picked.union(deferred)
+
+
+def _defer_non_candidates(t: "pa.Table", max_attempts: int) -> "pa.Table":
+    """Phase-1 non-candidates are provably non-selected: defer in place
+    (attempts+1, cap filter) with the politeness_split output schema."""
+    import pyarrow.compute as pc
+
+    t = t.filter(pc.invert(t["cand"])).drop_columns(["hs", "cand"])
+    att = pc.add(t["attempts"], 1)
+    t = t.set_column(t.schema.get_field_index("attempts"), "attempts", att)
+    t = t.filter(pc.less_equal(att, max_attempts))
+    t = t.append_column(
+        "order_in_host", pa.array(np.full(t.num_rows, -1, dtype=np.int64))
+    )
+    return t.append_column("selected", pa.array(np.zeros(t.num_rows, dtype=bool)))
 
 
 def make_seen_filter(actors, robots_ref):
@@ -824,8 +903,15 @@ class CrawlRun:
         unseen = frontier.map_batches(
             make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
         )
+        split_fn = (
+            (lambda ds: politeness_split_salted(
+                ds, cfg.per_host_budget, cfg.max_pending_attempts, cfg.politeness_salt_k))
+            if cfg.politeness_salt_k > 1
+            else (lambda ds: politeness_split(
+                ds, cfg.per_host_budget, cfg.max_pending_attempts))
+        )
         split = (
-            politeness_split(unseen, cfg.per_host_budget, cfg.max_pending_attempts)
+            split_fn(unseen)
             .map_batches(
                 make_selected_reporter(collector), batch_format="pyarrow", batch_size=None
             )

@@ -103,6 +103,24 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url
 
+    def test_salted_politeness_matches_simulator(self, corpus):
+        """politeness_salt_k=4 (two-phase skew-safe selection): same
+        order/seen/articles as the unsalted path and the simulator."""
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "saltpath"), rounds=3)
+        cfg.politeness_salt_k = 4
+        run_crawl(pages, SPEC, cfg)
+
+        sim = simulate_crawl(SPEC, cfg)
+        got = read_crawl_order(cfg)
+        got_t = sorted(
+            tuple(x)
+            for x in got[["host", "round", "order_in_host", "url", "state", "status"]]
+            .itertuples(index=False)
+        )
+        assert got_t == sorted(sim.order)
+        assert _read_seen(cfg.checkpoint_dir) == sim.seen
+
     def test_transient_retry_semantics(self, corpus):
         """429/5xx fetches re-enter the frontier with attempts+1 instead
         of being marked seen; they are re-fetched in a later round and
@@ -142,6 +160,44 @@ class TestCrawlEquivalence:
         got = read_crawl_order(cfg)
         for _, row in got.iterrows():
             assert is_allowed(row["url"], robots.get(row["host"])), row["url"]
+
+    def test_salted_split_equals_unsalted(self, ray_session):
+        """Unit equality on a skewed frontier (one hot host with 5000
+        pending urls, two cold ones): salted two-phase output ==
+        unsalted output row for row."""
+        import ray.data
+
+        from newslookout_ray.pipelines.crawl import (
+            politeness_split,
+            politeness_split_salted,
+        )
+
+        rows = []
+        for i in range(5000):
+            rows.append({"url": f"http://hot.test/p{i:05d}", "host": "hot.test",
+                         "birth_round": i % 3, "pseq": i % 7, "lidx": i % 11,
+                         "depth": 1, "attempts": i % 2})
+        for h in ("cold-a.test", "cold-b.test"):
+            for i in range(12):
+                rows.append({"url": f"http://{h}/p{i}", "host": h,
+                             "birth_round": 0, "pseq": i, "lidx": 0,
+                             "depth": 1, "attempts": 0})
+        import pandas as pd
+
+        df = pd.DataFrame(rows)
+        cols = ["url", "selected", "order_in_host", "attempts"]
+        a = (
+            politeness_split(ray.data.from_pandas(df), budget=10, max_attempts=3)
+            .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+        )
+        b = (
+            politeness_split_salted(
+                ray.data.from_pandas(df), budget=10, max_attempts=3, salt_k=4
+            )
+            .to_pandas()[cols].sort_values("url").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert a["selected"].sum() == 30  # 3 hosts x budget 10
 
     def test_politeness_budget_enforced(self, corpus):
         root, pages = corpus
