@@ -524,6 +524,13 @@ def _q_lsh_ann_topk(sf):
     return similarity.lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _q_ivf_ann_topk(sf):
+    """ANN scale path #2: IVF-flat (spherical-kmeans coarse quantizer,
+    nprobe inverted-list probing; approximate by design → rows-only;
+    recall vs brute force is test-measured)."""
+    return similarity.ivf_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_simhash_pairs(sf):
     """SimHash near-dup pairs (banded blocking + exact hamming verify)."""
     return dedup.simhash_near_pairs(
@@ -587,6 +594,7 @@ QUERIES = {
     "date_urls": _q_date_urls,
     "aggregator_route": _q_aggregator_route,
     "lsh_ann_topk": _q_lsh_ann_topk,
+    "ivf_ann_topk": _q_ivf_ann_topk,
     "simhash_pairs": _q_simhash_pairs,
     "media_features": _q_media_features,
     "processed_articles": _q_processed_articles,

@@ -244,3 +244,51 @@ def expand_archives(archive_rows: list, out_root: str, module: str = "mod_in_nse
         )
 
     return ray.data.from_items(archive_rows).map_batches(expand, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# S8 — master-data loader (broadcast side tables)
+# ---------------------------------------------------------------------------
+
+_MASTER_CACHE: dict = {}
+
+
+def load_master_data(master_dir: str):
+    """S8 master-data fetcher, engine side (mod_in_nse.py:318-334
+    fetchMasterData + the masterData name map at :67-78): the reference
+    downloads ~9 NSE master CSVs to ``master_data_dir`` ONCE per run and
+    plugins look rows up locally. Here the once-per-run step is: read
+    each ``*.csv`` in ``master_dir`` with ``ray.data.read_csv`` (Arrow
+    CSV under the hood), materialize the small side table, and broadcast
+    it via ``ray.put`` — returns {file-stem: ObjectRef}. Stages look up
+    via ``master_lookup`` (per-worker deserialization cache), never a
+    shuffle join: master tables are small-side by construction.
+    """
+    import glob as _glob
+
+    import ray
+    import ray.data
+
+    from ..util import collect_table
+
+    refs = {}
+    for path in sorted(_glob.glob(os.path.join(master_dir, "*.csv"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        tbl = collect_table(ray.data.read_csv(path))
+        refs[name] = ray.put(tbl)
+    return refs
+
+
+def master_lookup(ref, key_col: str, value_col: str) -> dict:
+    """Per-worker cached {key: value} view of one broadcast master table
+    (same pattern as crawl._cached_sel_map — an Arrow table broadcast is
+    plasma-shared zero-copy; the dict is built once per worker)."""
+    import ray
+
+    key = (ref.hex() if hasattr(ref, "hex") else id(ref), key_col, value_col)
+    cached = _MASTER_CACHE.get(key)
+    if cached is None:
+        tbl = ray.get(ref)
+        cached = dict(zip(tbl[key_col].to_pylist(), tbl[value_col].to_pylist()))
+        _MASTER_CACHE[key] = cached
+    return cached

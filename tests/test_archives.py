@@ -126,3 +126,38 @@ class TestNsePipeline:
         assert os.path.isfile(
             os.path.join(str(tmp_path), "root", "2021-03-02", "equity_nse_2021-03-02.csv")
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMasterData:
+    def test_load_and_broadcast_lookup(self, tmp_path):
+        """S8: per-file broadcast side tables + per-worker cached lookup
+        used inside a map_batches enrichment (no shuffle join)."""
+        import ray
+        import ray.data
+
+        mdir = str(tmp_path / "master")
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "mod_in_nse_EQUITY_L.csv"), "w") as fh:
+            fh.write("SYMBOL,COMPANY\nSYMB1,First Co\nSYMB2,Second Co\n")
+        with open(os.path.join(mdir, "mod_in_nse_namechange.csv"), "w") as fh:
+            fh.write("OLD,NEW\nSYMB0,SYMB1\n")
+        refs = ar.load_master_data(mdir)
+        assert set(refs) == {"mod_in_nse_EQUITY_L", "mod_in_nse_namechange"}
+
+        eq_ref = refs["mod_in_nse_EQUITY_L"]
+
+        def enrich(batch):
+            import pyarrow as pa
+
+            names = ar.master_lookup(eq_ref, "SYMBOL", "COMPANY")
+            col = pa.array([names.get(s, "") for s in batch["sym"].to_pylist()])
+            return batch.append_column("company", col)
+
+        out = (
+            ray.data.from_items([{"sym": "SYMB2"}, {"sym": "SYMB1"}, {"sym": "NOPE"}])
+            .map_batches(enrich, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("sym")
+        )
+        assert out["company"].tolist() == ["", "First Co", "Second Co"]

@@ -59,6 +59,25 @@ class TestLSH:
         recall = len(bf_set & lsh_set) / len(bf_set)
         assert recall >= 0.5, recall  # approximate by design; recall bounded
 
+    def test_ivf_recall_against_brute_force(self, emb_ds):
+        queries = list(range(10))
+        bf = similarity.brute_force_topk(emb_ds, queries, k=5).to_pandas()
+        ivf = similarity.ivf_topk(emb_ds, queries, k=5, n_centroids=8, nprobe=3).to_pandas()
+        bf_set = set(zip(bf["query_id"], bf["neighbor_id"]))
+        ivf_set = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+        recall = len(bf_set & ivf_set) / len(bf_set)
+        assert recall >= 0.5, recall  # nprobe/n_centroids trade-off
+
+    def test_ivf_deterministic_and_true_cosines(self, emb_ds):
+        mat = _corpus()
+        norm = mat / np.linalg.norm(mat, axis=1)[:, None]
+        a = similarity.ivf_topk(emb_ds, [3], k=5, n_centroids=8, nprobe=3).to_pandas()
+        b = similarity.ivf_topk(emb_ds, [3], k=5, n_centroids=8, nprobe=3).to_pandas()
+        assert a.equals(b)
+        for _, row in a.iterrows():
+            true_c = float(norm[int(row["query_id"])] @ norm[int(row["neighbor_id"])])
+            assert true_c - row["cosine"] < 1e-5 and row["cosine"] <= true_c + 1e-9
+
     def test_lsh_results_are_true_cosines(self, emb_ds):
         mat = _corpus()
         norm = mat / np.linalg.norm(mat, axis=1)[:, None]
