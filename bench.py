@@ -28,13 +28,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# Sized so parallel compute dominates the ~6 s/round parallelism-
+# Sized so parallel compute dominates the ~5 s/round parallelism-
 # independent latency (politeness shuffle launch + sink fixed costs):
-# ~350k fetches over 3 rounds ≈ 2,000 cpu-s of fetch+extract, vs the
-# round-1 400k-page/112k-fetch corpus whose ~600 cpu-s could not
-# amortize it at 8-vs-32 cpus (scaling efficiency stuck near 0.48).
-CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "800000"))
-CRAWL_HOSTS = 1200
+# ~370k fetches over 3 rounds ≈ 2,200 cpu-s of fetch+extract. The
+# round-1 400k-page/112k-fetch corpus (~600 cpu-s) stalled scaling
+# efficiency near 0.48; the round-2 800k/186k corpus reached 0.73 —
+# per-stage manifests showed the residual was the fixed-vs-parallel
+# ratio, not a serial stage, so the corpus doubles again.
+CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "1600000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "2400"))
 CRAWL_ROUNDS = 3
 CRAWL_BUDGET = 200
 CRAWL_LINKS_PER_HUB = 450
@@ -60,9 +62,12 @@ def build_corpus_once(sf_dir: str, spec):
         write_pages_corpus(spec, path, n_buckets=16)
         open(marker, "w").write("ok")
     # warm the OS page cache so timed runs measure compute, not cold disk
+    # (scanner-iterate ALL columns — html included — discarding batches,
+    # so the warm costs no driver heap)
     import pyarrow.dataset as pads
 
-    pads.dataset(path, format="parquet").to_table(columns=["url"])
+    for _ in pads.dataset(path, format="parquet").scanner(batch_size=8192).to_batches():
+        pass
     return path
 
 
@@ -161,10 +166,10 @@ def run_bench() -> dict:
         extract_batch_size=512,
         seen_filter_concurrency=max(2, NUM_CPUS // 8),
         join_partitions=max(4, NUM_CPUS // 2),
-        # hosts × budget = 300k possible selections/round: keep the
+        # hosts × budget = 480k possible selections/round: keep the
         # (faster) broadcast fetch path at bench scale; the join path is
         # exercised by tests and kicks in past this bound
-        broadcast_limit=400_000,
+        broadcast_limit=800_000,
     )
     t0 = time.time()
     summary = run_crawl(pages_path, spec, cfg)

@@ -525,35 +525,28 @@ def make_fetch_extract_joined(profile: SiteProfile, status_seed: int, now):
     return stage
 
 
-def _missing_rows_table(missing_urls, sel_rows, module: str) -> pa.Table:
-    """status-404 extract rows for selected urls absent from the corpus."""
+def _missing_rows_table(sub: pa.Table, module: str) -> pa.Table:
+    """status-404 extract rows for selected urls absent from the corpus.
+    ``sub`` is the missing slice of the (Arrow) selected frontier table —
+    carried columns are taken vectorized, the rest are constants."""
     from ..stages.extract import ARTICLE_FIELDS
 
-    cols = {name: [] for name, _ in ARTICLE_FIELDS}
-    for u in missing_urls:
-        row = sel_rows[u]
-        cols["url"].append(u)
-        cols["host"].append(row["host"])
-        cols["unique_id"].append("")
-        cols["pubdate"].append(None)
-        cols["title"].append("")
-        cols["text"].append("")
-        cols["module"].append(module)
-        cols["state"].append(STATE_ERROR)
-        cols["raw_size"].append(0)
-        cols["text_size"].append(0)
-        cols["links"].append([])
-        cols["keywords"].append([])
-        cols["authors"].append([])
-        cols["industries"].append([])
-        cols["pseq"].append(row["pseq"])
-        cols["lidx"].append(row["lidx"])
-        cols["depth"].append(row["depth"])
-        cols["order_in_host"].append(row["order_in_host"])
-        cols["status"].append(404)
-        cols["birth_round"].append(row["birth_round"])
-        cols["attempts"].append(row["attempts"])
-    arrays = [pa.array(cols[name], type=typ) for name, typ in ARTICLE_FIELDS]
+    n = sub.num_rows
+    const = {
+        "unique_id": "", "pubdate": None, "title": "", "text": "",
+        "module": module, "state": STATE_ERROR, "raw_size": 0,
+        "text_size": 0, "links": None, "keywords": None, "authors": None,
+        "industries": None, "status": 404,
+    }
+    empty_list = [[] for _ in range(n)]
+    arrays = []
+    for name, typ in ARTICLE_FIELDS:
+        if name in sub.schema.names:
+            arrays.append(sub[name].combine_chunks().cast(typ))
+        elif name in ("links", "keywords", "authors", "industries"):
+            arrays.append(pa.array(empty_list, type=typ))
+        else:
+            arrays.append(pa.array([const[name]] * n, type=typ))
     return pa.Table.from_arrays(arrays, schema=EXTRACT_SCHEMA)
 
 
@@ -928,7 +921,8 @@ class CrawlRun:
 
         sel_tables, overflow = ray.get(collector.selected_result.remote())
         broadcast = not overflow
-        sel_rows: dict = {}
+        sel_urls: list = []
+        selected_tbl = None
 
         if broadcast:
             selected_tbl = (
@@ -941,11 +935,18 @@ class CrawlRun:
                 )
             )
             sel_count = selected_tbl.num_rows
-            sel_rows = {row["url"]: row for row in selected_tbl.to_pylist()}
-            # broadcast the Arrow table (plasma-shared), not the python
-            # dict — workers build their lookup once per process
+            # only the url column lands driver-side as Python objects; the
+            # full selected table stays Arrow (plasma-shared broadcast —
+            # workers build their lookup once per process)
+            sel_urls = selected_tbl["url"].to_pylist()
             sel_ref = ray.put(selected_tbl)
-            buckets = sorted({int(url_hash64(u) % cfg.n_page_buckets) for u in sel_rows})
+            buckets = (
+                np.unique(
+                    url_hash64_batch(sel_urls) % np.uint64(cfg.n_page_buckets)
+                ).astype(np.int64).tolist()
+                if sel_urls
+                else []
+            )
             pages = ray.data.read_parquet(
                 self.pages_path,
                 columns=["url", "html"],
@@ -1021,9 +1022,12 @@ class CrawlRun:
             # selected urls with no page on "the web" → status-404 rows,
             # handled entirely driver-side (they produce no links)
             matched = set(matched_urls)
-            missing = [u for u in sel_rows if u not in matched]
+            missing = [u for u in sel_urls if u not in matched]
             if missing:
-                tbl = _missing_rows_table(missing, sel_rows, cfg.profile.name)
+                sub = selected_tbl.filter(
+                    pc.is_in(selected_tbl["url"], value_set=pa.array(missing, pa.string()))
+                )
+                tbl = _missing_rows_table(sub, cfg.profile.name)
                 pq.write_table(
                     tbl.drop_columns(["links"]),
                     os.path.join(fetched_dir, "part-missing.parquet"),
