@@ -363,16 +363,15 @@ def run_processor_chain(
 _FLAGS_CACHE: dict = {}
 
 
-def _cached_flags(flags_ref) -> dict:
-    """Per-worker deserialized url->is_duplicate dict for the broadcast
-    marks table (same pattern as crawl._cached_sel_map)."""
+def _cached_dup_urls(dup_ref):
+    """Per-worker view of the broadcast duplicate-url array (plasma
+    zero-copy; cached so ray.get runs once per worker per chain)."""
     import ray
 
-    key = flags_ref.hex() if hasattr(flags_ref, "hex") else id(flags_ref)
+    key = dup_ref.hex() if hasattr(dup_ref, "hex") else id(dup_ref)
     cached = _FLAGS_CACHE.get(key)
     if cached is None:
-        tbl = ray.get(flags_ref)
-        cached = dict(zip(tbl["url"].to_pylist(), tbl["is_duplicate"].to_pylist()))
+        cached = ray.get(dup_ref)
         _FLAGS_CACHE.clear()  # one live chain at a time
         _FLAGS_CACHE[key] = cached
     return cached
@@ -402,17 +401,18 @@ def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int):
     )
     probe = collect_table(marks.limit(marks_broadcast_limit + 1))
     if probe.num_rows <= marks_broadcast_limit:
-        # broadcast the Arrow table (plasma-shared zero-copy); each worker
-        # builds the url->flag dict ONCE via the process-level cache — a
-        # plain dict broadcast re-unpickles on every ray.get per batch
-        flags_ref = ray.put(probe.select(["url", "is_duplicate"]))
+        # only the DUPLICATE urls need to travel (marks are sparse): the
+        # attach is a vectorized pc.is_in against a broadcast Arrow string
+        # array — no per-worker url->flag dict build, no Python row loop
+        # (the 259k-entry dict per worker was ~half the old attach cost,
+        # and it grew with worker count)
+        dup_urls = probe.filter(probe["is_duplicate"])["url"].combine_chunks()
+        dup_ref = ray.put(dup_urls)
 
         def attach(batch: pa.Table) -> pa.Table:
-            flags = _cached_flags(flags_ref)
-            col = pa.array(
-                [bool(flags.get(u, False)) for u in batch["url"].to_pylist()]
-            )
-            return batch.append_column("is_duplicate", col)
+            dup = _cached_dup_urls(dup_ref)
+            col = pc.is_in(batch["url"].combine_chunks(), value_set=dup)
+            return batch.append_column("is_duplicate", pc.fill_null(col, False))
 
         return out.map_batches(attach, batch_format="pyarrow")
     return out.join(

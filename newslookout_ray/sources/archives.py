@@ -12,6 +12,9 @@ Reference behavior reproduced:
     Pd→equity_nse_, corpbond→debt_nse_), and parsing An* members'
     announcement records (key-prefix regex, continuation-line join,
     excluded-phrase filter) into article-shaped rows.
+  - S7/U12 BSE variant ``mod_in_bse.py:89-233``: same expander with the
+    ``EQ_ISINCODE_* → equity_bse_<date>.csv`` rename rule, and the
+    bhavcopy URL → (ddmmyy date, unique id) extractor shared with NSE.
 
 Ray-Data shape: archives are rows of a Dataset (path or payload); each
 archive is one task (``flat_map``-style map_batches) — at 100 TB the
@@ -128,6 +131,51 @@ def nse_member_filename(member_name: str, publish_date_str: str, module: str) ->
     return module + "_" + member_name
 
 
+def bse_member_filename(member_name: str, publish_date_str: str, module: str) -> str:
+    """mod_in_bse.py:192-206 rename rule: the bhavcopy member
+    ``EQ_ISINCODE_*`` becomes ``equity_bse_<date>.csv``; every other
+    member keeps its name behind the module prefix."""
+    if member_name.startswith("EQ_ISINCODE_"):
+        return "equity_bse_" + publish_date_str + ".csv"
+    return module + "_" + member_name
+
+
+#: urlUniqueRegexps — mod_in_nse.py:87, mod_in_bse.py:70
+BHAVCOPY_URL_PATTERNS = {
+    "mod_in_nse": (
+        re.compile(r"(^https://www1.nseindia.com/archives/equities/bhavcopy/pr/PR)([0-9]+)(.zip$)"),
+    ),
+    "mod_in_bse": (
+        re.compile(r"(^https://www.bseindia.com/download/BhavCopy/Equity/EQ_ISINCODE_)([0-9]+)(.zip$)"),
+    ),
+}
+
+
+def bhavcopy_unique_id_from_url(url: str, module: str = "mod_in_nse", now=None):
+    """U12 — extractUniqueIDFromURL (mod_in_nse.py:399-418,
+    mod_in_bse.py:213-233): try each url pattern's group(2) as a
+    ``ddmmyy`` date; on success return (date, id). The reference
+    defaults the id to *today's* ddmmyy with a None date when nothing
+    matches — ``now`` injects that clock deterministically."""
+    import datetime as _dt
+
+    default = (now or _dt.datetime.now()).strftime("%d%m%y")
+    if len(url) > 6:
+        for pat in BHAVCOPY_URL_PATTERNS.get(module, ()):
+            m = pat.search(url)
+            if m is None:
+                continue
+            # reference ordering: the id is overwritten BEFORE the date
+            # parse, so a matching-but-undateable group still replaces
+            # the default id even though the date stays None
+            default = m.group(2)
+            try:
+                return _dt.datetime.strptime(default, "%d%m%y"), default
+            except ValueError:
+                continue
+    return None, default
+
+
 def parse_announcements(text: str, archive_url: str, module: str, publish_date) -> list:
     """processAnnouncements (mod_in_nse.py:425-488): records are
     key-value lines; index 0 is the header; lines lacking ':' or hitting
@@ -182,13 +230,14 @@ def expand_zip_archive(
     announcement rows. Returns (written_paths, announcement_rows,
     uncompressed_size)."""
     os.makedirs(out_dir, exist_ok=True)
+    rename = bse_member_filename if module == "mod_in_bse" else nse_member_filename
     written, announcements, size = [], [], 0
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         for info in zf.infolist():
             if info.filename.find("Readme.txt") >= 0:
                 continue
             new_name = os.path.join(
-                out_dir, nse_member_filename(info.filename, publish_date_str, module)
+                out_dir, rename(info.filename, publish_date_str, module)
             )
             data = zf.read(info)
             if not os.path.isfile(new_name):

@@ -123,9 +123,10 @@ class CompiledProfile:
             if sub != self.profile.industries_from_subdomain:
                 industries.append(sub)
         for pat in self.industry_patterns:
-            m = pat.search(html_text)
-            if m is not None:
-                industries.append(m.group(2))
+            # findall, not search: the reference appends EVERY match of
+            # the pattern (mod_en_in_trak.py:195-197 loops re.findall)
+            for m in pat.findall(html_text):
+                industries.append(m[1] if isinstance(m, tuple) else m)
         return industries
 
     def extract_content_id(self, html_text: str):
@@ -441,6 +442,43 @@ INEXP_BUSINESS_PROFILE = SiteProfile(
     ),
 )
 
+TRAK_PROFILE = SiteProfile(
+    name="mod_en_in_trak",
+    valid_url_substrings=("https://trak.in/",),
+    invalid_url_substrings=(),  # mod_en_in_trak.py:109 (empty)
+    non_content_strings=(
+        "trak.in/cdn-cgi/l/email-protection",
+        "trak.in/wp-login.php",
+    ),
+    # base pack FIRST (mod_en_in_trak.py:140 prepends super's regexes)
+    url_id_regexes=tuple(DEFAULT_URL_ID_REGEXES)
+    + (r"(http.+\/\/)(trak.in\/.+\-)([0-9]{5,})(/)",),
+    # mod_en_in_trak.py:117-121 articleDateRegexps (own key first, base
+    # pack merged in by the dict update at :139)
+    date_regexes=(
+        (
+            r"(<meta property=\"article:published_time\" content=\")"
+            r"(20[0-9]{2}\-[0-9]{1,2}\-[0-9]{1,2}T[0-9]{2}:[0-9]{2}:[0-9]{2})(\+00:00\")",
+            "%Y-%m-%dT%H:%M:%S",
+        ),
+    )
+    + tuple(ARTICLE_DATE_REGEXES),
+    min_article_len=400,
+    # trak's own extractArticleBody returns "" (mod_en_in_trak.py:227-232)
+    # → the newspaper-parse path carries the body; generic_paragraphs is
+    # the engine's deterministic analogue of that path
+    body_extractor="generic_paragraphs",
+    author_regexes=(
+        r"(<span class=\"post-author-name\">By <b>)([a-zA-Z0-9 _\-\.]{3,})(<\/b><\/span>)",
+    ),
+    # mod_en_in_trak.py:186-200 extractIndustries (hardcoded article:tag
+    # pattern, every match appended)
+    industry_regexes=(
+        r"(<meta property=\"article:tag\" content=\")([a-zA-Z0-9 \-_\.]{2,})(\" \/>)",
+    ),
+    content_id_regexes=TRAK_CONTENT_ID_REGEXES,
+)
+
 PROFILES = {
     "synthetic": DEFAULT_PROFILE,
     "mod_en_in_ecotimes": ECOTIMES_PROFILE,
@@ -453,4 +491,5 @@ PROFILES = {
     "mod_en_in_forbes": FORBES_PROFILE,
     "mod_en_in_indiakanoon": INDIAKANOON_PROFILE,
     "mod_en_in_inexp_business": INEXP_BUSINESS_PROFILE,
+    "mod_en_in_trak": TRAK_PROFILE,
 }

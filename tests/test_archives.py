@@ -114,6 +114,69 @@ class TestNseExpander:
         assert all(os.path.getmtime(w) == m for w, m in mtimes.items())
 
 
+class TestBseVariant:
+    def test_unique_id_from_url_matches_reference(self):
+        # the reference's own assert (test_mod_in_bse.py:109-114)
+        url = "https://www.bseindia.com/download/BhavCopy/Equity/EQ_ISINCODE_140520.zip"
+        date, uid = ar.bhavcopy_unique_id_from_url(url, module="mod_in_bse")
+        assert uid == "140520"
+        assert (date.year, date.month, date.day) == (2020, 5, 14)
+        # NSE pattern variant (mod_in_nse.py:87)
+        date, uid = ar.bhavcopy_unique_id_from_url(
+            "https://www1.nseindia.com/archives/equities/bhavcopy/pr/PR020321.zip",
+            module="mod_in_nse",
+        )
+        assert uid == "020321" and date.day == 2 and date.month == 3
+
+    def test_unique_id_fallback_is_todays_ddmmyy(self):
+        import datetime
+
+        now = datetime.datetime(2021, 6, 10)
+        date, uid = ar.bhavcopy_unique_id_from_url(
+            "https://other.example.com/x.zip", module="mod_in_bse", now=now
+        )
+        assert date is None and uid == "100621"
+
+    def test_member_rename_and_expand(self, tmp_path):
+        assert (
+            ar.bse_member_filename("EQ_ISINCODE_140520.CSV", "2020-05-14", "mod_in_bse")
+            == "equity_bse_2020-05-14.csv"
+        )
+        assert (
+            ar.bse_member_filename("notes.txt", "2020-05-14", "mod_in_bse")
+            == "mod_in_bse_notes.txt"
+        )
+        path = os.path.join(str(tmp_path), "EQ_ISINCODE_140520.zip")
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("EQ_ISINCODE_140520.CSV", "SC_CODE,ISIN\n1,INE1\n")
+            zf.writestr("Readme.txt", "skip me")
+        with open(path, "rb") as fh:
+            payload = fh.read()
+        out_dir = os.path.join(str(tmp_path), "out")
+        written, recs, size = ar.expand_zip_archive(
+            payload, out_dir, "2020-05-14", "https://x/EQ.zip", module="mod_in_bse"
+        )
+        names = {os.path.basename(w) for w in written}
+        assert names == {"equity_bse_2020-05-14.csv"}
+        assert recs == [] and size > 0
+
+    def test_business_day_urls_bse_template(self):
+        import datetime
+
+        from newslookout_ray.sources.feeds import business_day_urls
+
+        urls = business_day_urls(
+            "https://www.bseindia.com/download/BhavCopy/Equity/EQ_ISINCODE_%d%m%y.zip",
+            datetime.date(2021, 6, 10),
+            3,
+        )
+        assert all(u.startswith("https://www.bseindia.com/download/") for u in urls)
+        # round-trips through the id extractor
+        for u in urls:
+            date, uid = ar.bhavcopy_unique_id_from_url(u, module="mod_in_bse")
+            assert date is not None and u.endswith(uid + ".zip")
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestNsePipeline:
     def test_expand_archives_dataset(self, tmp_path):

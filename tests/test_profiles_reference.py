@@ -224,3 +224,41 @@ def test_content_id_fallback():
         cp.extract_content_id("<link rel='shortlink' href='https://trak.in/?p=119415' />")
         == "119415"
     )
+
+
+def test_trak_profile_packs():
+    """mod_en_in_trak parity on the plugin's own documented inputs
+    (no html fixture ships for trak — the reference's own test fetches
+    the live site; these snippets are the patterns' documented shapes):
+    URL unique-id (group 3, test_mod_en_in_trak.py:119 expects 119735),
+    published_time date pack, author span, and article:tag industries
+    with EVERY match appended (mod_en_in_trak.py:195-197)."""
+    from newslookout_ray.stages.profiles import TRAK_PROFILE
+
+    cp = CompiledProfile(TRAK_PROFILE)
+    url = (
+        "https://trak.in/tags/business/2021/02/18/oneplus-watch-launch-soon-"
+        "spotted-on-gpto-india-launch-when-oneplus-watch-price-availability-119735/"
+    )
+    matched = [
+        m.group(3) for m in (p.search(url) for p in cp.id_patterns) if m is not None
+    ]
+    assert "119735" in matched
+    html = (
+        "<meta property=\"article:published_time\" "
+        "content=\"2021-02-18T09:30:00+00:00\" />\n"
+        "<span class=\"post-author-name\">By <b>Radhika Kajarekar</b></span>\n"
+        "<meta property=\"article:tag\" content=\"OnePlus\" />\n"
+        "<meta property=\"article:tag\" content=\"smartwatch\" />\n"
+    )
+    date, fmt = None, None
+    for pat, f in cp.date_patterns:
+        m = pat.search(html)
+        if m is not None:
+            date, fmt = m.group(2), f
+            break
+    assert (date, fmt) == ("2021-02-18T09:30:00", "%Y-%m-%dT%H:%M:%S")
+    assert cp.extract_authors(html) == ["Radhika Kajarekar"]
+    assert cp.extract_industries(url, html) == ["OnePlus", "smartwatch"]
+    assert TRAK_PROFILE.is_hub("https://trak.in/") is True
+    assert TRAK_PROFILE.is_hub(url) is False
