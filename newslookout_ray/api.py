@@ -202,6 +202,24 @@ def _q_window(sf):
     )
 
 
+def _q_session_windows(sf):
+    """Gap-based session windows (30 min) per user over the event log."""
+    return relational.session_windows(
+        _read(sf, "events").select_columns(["user_id", "event_id", "ts", "value"])
+    )
+
+
+def _q_asof_join(sf):
+    """Distributed as-of join: each event ⋈ the latest prior order of
+    the same customer (bucketed co-group + pandas.merge_asof)."""
+    return relational.asof_join_events_orders(
+        _read(sf, "events").select_columns(["user_id", "event_id", "ts"]),
+        _read(sf, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+        ),
+    )
+
+
 def _q_region_rollup(sf):
     return relational.region_customer_rollup(
         _read(sf, "customer"), _read(sf, "nation"), _read(sf, "region")
@@ -581,6 +599,8 @@ QUERIES = {
     "status_counts": _q_status_counts,
     "user_value_sum": _q_user_value,
     "windowed_counts": _q_window,
+    "session_windows": _q_session_windows,
+    "asof_join": _q_asof_join,
     "region_rollup": _q_region_rollup,
     "priority_revenue": _q_priority_revenue,
     "per_key_limit": _q_per_key_limit,
@@ -704,6 +724,34 @@ def _oracle_sql() -> dict:
           count(*)::BIGINT AS n,
           sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS value_cents
         FROM events GROUP BY event_type, date_trunc('hour', ts)
+    """
+    sql["session_windows"] = """
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+            CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM e)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events, sum(value_c)::BIGINT AS value_cents
+        FROM s GROUP BY user_id, sid
+    """
+    sql["asof_join"] = """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, e.ts,
+                 o.o_orderkey, o.o_orderdate, o.o_totalprice,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        SELECT event_id, user_id, ts,
+               o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate,
+               o_totalprice AS asof_totalprice
+        FROM j WHERE rn = 1
     """
     sql["region_rollup"] = """
         SELECT r.r_name,

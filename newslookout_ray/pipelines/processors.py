@@ -344,15 +344,25 @@ def run_processor_chain(
     if chain is None:
         chain = DEFAULT_CHAIN
     out = articles
-    for _prio, _name, stage, kind in sorted(chain, key=lambda c: c[0]):
+    # cheap recompute lineage for the dedup featurize: only stages that
+    # MUTATE the text column matter for the marks (column-appending
+    # stages like flags/sentiment don't change the dedup input) — list
+    # any new text-mutating stage name here
+    text_state = articles
+    text_mutating = {"dataprep"}
+    for _prio, name, stage, kind in sorted(chain, key=lambda c: c[0]):
         if kind == "fn":
             out = out.map_batches(stage, batch_format="pyarrow")
+            if name in text_mutating:
+                text_state = text_state.map_batches(stage, batch_format="pyarrow")
         elif kind == "actor":
             out = out.map_batches(
                 stage, batch_format="pyarrow", concurrency=(1, max(1, concurrency))
             )
         elif kind == "dedup_marks":
-            out = _attach_dedup_marks(out, stage, marks_broadcast_limit)
+            out = _attach_dedup_marks(
+                out, stage, marks_broadcast_limit, marks_input=text_state
+            )
         elif kind == "group_pubdate":
             out = out.groupby("pubdate").map_groups(stage, batch_format="pandas")
         else:
@@ -377,21 +387,29 @@ def _cached_dup_urls(dup_ref):
     return cached
 
 
-def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int):
-    """Compact near-dedup flow: materialize the enriched articles once,
-    shuffle only (url, module, pubdate, size, vec) through the date
-    groupby, then attach the (url, is_duplicate) marks back — broadcast
-    when the marks table fits (probed with limit(N+1)), hash-join on url
-    otherwise. Shuffling full article text through the date groupby and
-    converting it to pandas per group was the chain's dominant cost."""
+def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_input=None):
+    """Compact near-dedup flow: shuffle only (url, module, pubdate,
+    size, vec) through the date groupby, then attach the
+    (url, is_duplicate) marks back — broadcast when the marks table fits
+    (probed with limit(N+1)), hash-join on url otherwise. Shuffling full
+    article text through the date groupby and converting it to pandas
+    per group was the chain's dominant cost.
+
+    ``marks_input`` is a cheap recompute lineage for the featurize
+    (source → text-mutating stages only): with it, the enriched stream
+    ``out`` is NEVER materialized mid-pipeline — the marks branch reads
+    the source again (parquet re-read + trim ≪ pinning the whole
+    enriched corpus in the object store at 100-TB scale) and the final
+    attach is one streaming pass over ``out``."""
     import ray
 
     from ..util import collect_table
 
-    out = out.materialize()
+    if marks_input is None:
+        out = marks_input = out.materialize()
     cpus = int(ray.cluster_resources().get("CPU", 8))
     marks = (
-        out.map_batches(featurize_for_dedup, batch_format="pyarrow")
+        marks_input.map_batches(featurize_for_dedup, batch_format="pyarrow")
         # spread the compact rows over >=2x-cpu blocks so the sort-based
         # groupby emits that many range partitions and the per-date
         # kernels run as parallel tasks (measured 2x on the bench corpus)

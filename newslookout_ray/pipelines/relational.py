@@ -325,3 +325,131 @@ def top_orders(orders, k: int = 20):
     out = out.reset_index(drop=True)
     out["price_cents"] = np.floor(out["o_totalprice"] * 100.0 + 0.5).astype(np.int64)
     return out[["o_orderkey", "price_cents", "o_orderpriority"]]
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped window + as-of join operators (beyond-reference; the
+# tumbling variant above is windowed_counts)
+# ---------------------------------------------------------------------------
+
+
+def session_windows(events, gap_minutes: int = 30):
+    """Gap-based session windows per user: a new session starts when the
+    user's inter-event gap exceeds ``gap_minutes``. Per session:
+    (user_id, session_start, session_end, n_events, value_cents).
+
+    Shape: one single-key hash shuffle (groupby user) colocates each
+    user's events; inside a group the session assignment is one
+    vectorized pass — sort by (ts, event_id), boundary = gap > threshold,
+    session id = cumsum(boundary). Partitioning assumption: one user's
+    events fit one group (sessions never span groups); salt by coarse
+    time range if a single user exceeds group memory at scale."""
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "value_c": _cents(batch["value"]),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = df["ts"].to_numpy()
+        brk = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        g = df.assign(sid=np.cumsum(brk)).groupby("sid", as_index=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+            value_cents=("value_c", "sum"),
+        )
+        return g[["user_id", "session_start", "session_end", "n_events", "value_cents"]]
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def asof_join_events_orders(events, orders, num_buckets: int = 64):
+    """Distributed as-of join — an operator Ray Data lacks: each event
+    joins the latest order of the same customer with
+    ``o_orderdate <= ts`` (ties on o_orderdate resolve to the max
+    o_orderkey); events with no prior order drop (inner as-of).
+
+    Shape: both sides are bucketed on the join key and co-grouped with
+    ONE single-key groupby over their union (sides tagged by ``src``);
+    each bucket runs ``pandas.merge_asof`` (C-vectorized backward
+    search over both sorted frames). Partitioning assumption: all rows
+    of a key land in one bucket, so bucket count × key skew bounds
+    group size — raise ``num_buckets`` (and salt hot keys by event-time
+    range, re-merging boundaries) at scale."""
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "b": pa.array(t["user_id"].to_numpy() % num_buckets, pa.int32()),
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+                "src": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "b": pa.array(t["o_custkey"].to_numpy() % num_buckets, pa.int32()),
+                "user_id": t["o_custkey"],
+                "event_id": pa.nulls(n, pa.int64()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "o_totalprice": t["o_totalprice"],
+                "src": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    unioned = events.map_batches(prep_events, batch_format="pyarrow").union(
+        orders.map_batches(prep_orders, batch_format="pyarrow")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["src"] == 1].sort_values(["ts", "event_id"], kind="mergesort")
+        od = df[df["src"] == 0].sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        m = pd.merge_asof(
+            ev[["user_id", "event_id", "ts"]],
+            od[["user_id", "o_orderkey", "o_orderdate", "o_totalprice"]],
+            left_on="ts",
+            right_on="o_orderdate",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "user_id": m["user_id"].astype("int64"),
+                "ts": m["ts"],
+                "asof_orderkey": m["o_orderkey"].astype("int64"),
+                "asof_orderdate": m["o_orderdate"],
+                "asof_totalprice": m["o_totalprice"].astype("float64"),
+            }
+        )
+
+    return unioned.groupby("b").map_groups(per_bucket, batch_format="pandas")

@@ -27,6 +27,8 @@ FAST_QUERIES = [
     "per_key_limit",
     "top_orders",
     "url_kernels",
+    "session_windows",
+    "asof_join",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Semantic tests for the streaming-shaped operators: gap-session
+windows and the distributed as-of join (tie-break + partitioning
+behavior on hand-built inputs; the DuckDB parity gate is
+test_api_oracle / scripts/check_oracle)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from newslookout_ray.pipelines import relational
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionWindows:
+    def test_gap_boundaries_and_sums(self):
+        import ray.data
+
+        events = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                # user 1: 10:00, 10:29, 11:10 (gap 41m -> new session), 11:20
+                "ts": pa.array(
+                    [_ts(0), _ts(29), datetime.datetime(2024, 1, 1, 11, 10),
+                     datetime.datetime(2024, 1, 1, 11, 20), _ts(5)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0, 9.995], pa.float64()),
+            }
+        )
+        out = (
+            relational.session_windows(ray.data.from_arrow(events))
+            .to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        assert len(out) == 3
+        u1 = out[out.user_id == 1]
+        assert list(u1["n_events"]) == [2, 2]
+        assert list(u1["value_cents"]) == [300, 700]
+        assert u1.iloc[0]["session_end"] == _ts(29)
+        # cents on the .995 boundary: 9.995 is 9.99499... as a double, so
+        # floor(x*100+0.5) = 999 — the same answer DuckDB computes on the
+        # same double (cross-engine consistency is the point of this form)
+        assert int(out[out.user_id == 2]["value_cents"].iloc[0]) == 999
+
+    def test_exact_gap_is_same_session(self):
+        import ray.data
+
+        events = pa.table(
+            {
+                "user_id": pa.array([7, 7], pa.int64()),
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([_ts(0), _ts(30)], pa.timestamp("us")),  # == gap
+                "value": pa.array([0.0, 0.0], pa.float64()),
+            }
+        )
+        out = relational.session_windows(ray.data.from_arrow(events)).to_pandas()
+        assert len(out) == 1 and int(out["n_events"].iloc[0]) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAsofJoin:
+    def test_backward_match_and_tiebreak(self):
+        import ray.data
+
+        events = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "event_id": pa.array([100, 101, 102], pa.int64()),
+                "ts": pa.array(
+                    [_ts(0), _ts(30), _ts(0)], pa.timestamp("us")
+                ),
+            }
+        )
+        d = datetime.datetime
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 3], pa.int64()),
+                "o_orderkey": pa.array([5, 9, 7, 8], pa.int64()),
+                # two orders share the max eligible date for event 101 ->
+                # tie resolves to max o_orderkey (9)
+                "o_orderdate": pa.array(
+                    [d(2024, 1, 1, 9), d(2024, 1, 1, 10, 15), d(2024, 1, 1, 10, 15),
+                     d(2024, 1, 1, 9)],
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+            }
+        )
+        out = (
+            relational.asof_join_events_orders(
+                ray.data.from_arrow(events), ray.data.from_arrow(orders), num_buckets=4
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # event 102's user has no orders -> dropped (inner as-of)
+        assert list(out["event_id"]) == [100, 101]
+        assert list(out["asof_orderkey"]) == [5, 9]
+        assert list(out["asof_totalprice"]) == [10.0, 20.0]
+
+    def test_exact_timestamp_match_included(self):
+        import ray.data
+
+        events = pa.table(
+            {
+                "user_id": pa.array([4], pa.int64()),
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([_ts(0)], pa.timestamp("us")),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_custkey": pa.array([4], pa.int64()),
+                "o_orderkey": pa.array([11], pa.int64()),
+                "o_orderdate": pa.array([_ts(0)], pa.timestamp("us")),
+                "o_totalprice": pa.array([1.0], pa.float64()),
+            }
+        )
+        out = relational.asof_join_events_orders(
+            ray.data.from_arrow(events), ray.data.from_arrow(orders), num_buckets=2
+        ).to_pandas()
+        assert list(out["asof_orderkey"]) == [11]
