@@ -319,6 +319,17 @@ def politeness_split_salted(frontier_ds, budget: int, max_attempts: int, salt_k:
     phase 1 ~ host_pending/salt_k, phase 2 <= budget*salt_k rows."""
     import pyarrow.compute as pc
 
+    import ray
+
+    # Shuffle groups are hash-BUCKETED into ~2x-cpu partitions and each
+    # partition processes ALL its key groups in one vectorized pandas
+    # pass (cumcount / in-process groupby): a host#salt cardinality of
+    # tens of thousands otherwise costs one Python map_groups call per
+    # group, which dominated the politeness stage wall time. Same url →
+    # same hs → same partition, so the global per-url dedup inside a
+    # partition is exact.
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(pack=_pack_order(df))
         df = (
@@ -327,31 +338,48 @@ def politeness_split_salted(frontier_ds, budget: int, max_attempts: int, salt_k:
             .drop(columns=["pack"])
         )
         salt = pd.util.hash_array(df["url"].to_numpy(object)) % np.uint64(salt_k)
-        return df.assign(hs=df["host"] + "#" + salt.astype(np.int64).astype(str))
+        hs = df["host"] + "#" + salt.astype(np.int64).astype(str)
+        p1 = (pd.util.hash_array(hs.to_numpy(object)) % np.uint64(num_parts)).astype(
+            np.int64
+        )
+        return df.assign(hs=hs, p1=p1)
 
-    def local_pick(df: pd.DataFrame) -> pd.DataFrame:
+    def local_pick_part(df: pd.DataFrame) -> pd.DataFrame:
+        # per-shard first-`budget` marking, vectorized across every hs
+        # shard in the partition (cumcount over the packed order)
         g = _dedup_sort(df).reset_index(drop=True)
-        g["cand"] = np.arange(len(g)) < budget
-        return g
+        g["cand"] = g.groupby("hs", sort=False).cumcount() < budget
+        return g.drop(columns=["p1"])
 
     phase1 = (
         frontier_ds.map_batches(partial, batch_format="pandas")
-        .groupby("hs")
-        .map_groups(local_pick, batch_format="pandas")
+        .groupby("p1")
+        .map_groups(local_pick_part, batch_format="pandas")
         .materialize()
     )
     deferred = phase1.map_batches(
         lambda t: _defer_non_candidates(t, max_attempts), batch_format="pyarrow"
     )
+
+    def add_p2(t: pa.Table) -> pa.Table:
+        t = t.filter(t["cand"]).drop_columns(["hs", "cand"])
+        p2 = pd.util.hash_array(
+            np.asarray(t["host"].to_pylist(), dtype=object)
+        ) % np.uint64(num_parts)
+        return t.append_column("p2", pa.array(p2.astype(np.int64), pa.int64()))
+
+    def pick_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["p2"])
+        parts = [
+            _pick_group(g, budget, max_attempts)
+            for _, g in df.groupby("host", sort=True)
+        ]
+        return pd.concat(parts, ignore_index=True)
+
     picked = (
-        phase1.map_batches(
-            lambda t: t.filter(t["cand"]).drop_columns(["hs", "cand"]),
-            batch_format="pyarrow",
-        )
-        .groupby("host")
-        .map_groups(
-            lambda df: _pick_group(df, budget, max_attempts), batch_format="pandas"
-        )
+        phase1.map_batches(add_p2, batch_format="pyarrow")
+        .groupby("p2")
+        .map_groups(pick_part, batch_format="pandas")
     )
     return picked.union(deferred)
 
