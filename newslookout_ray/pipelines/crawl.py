@@ -56,7 +56,12 @@ import pyarrow.parquet as pq
 
 from ..functions.urlkit import get_host, url_hash64, url_hash64_batch
 from ..util import collect_rows, collect_table
-from ..sources.pages import PagesSpec, seed_frontier
+from ..sources.pages import (
+    KIND_ROBOTS,
+    PagesSpec,
+    seed_frontier,
+    url_kind_batch,
+)
 from ..stages.extract import (
     EXTRACT_SCHEMA,
     REFERENCE_NOW,
@@ -818,10 +823,12 @@ class CrawlRun:
             for i in range(self.spec.n_hosts)
         }
         buckets = sorted({url_hash64(u) % self.cfg.n_page_buckets for u in wanted})
+        # kind pruning: robots bodies live in their own (tiny) partition —
+        # without the k filter this prologue scans the whole corpus
         pages = ray.data.read_parquet(
             self.pages_path,
             columns=["url", "html"],
-            filter=pc.field("b").isin(buckets),
+            filter=pc.field("b").isin(buckets) & (pc.field("k") == KIND_ROBOTS),
         )
         wanted_ref = ray.put(set(wanted))
 
@@ -975,10 +982,14 @@ class CrawlRun:
                 if sel_urls
                 else []
             )
+            # kind pruning: a hub-only round (the seed round) or an
+            # article-only round reads just its own corpus partition —
+            # url-hash buckets can't prune a spread selection, kind can
+            kinds = np.unique(url_kind_batch(sel_urls)).tolist() if sel_urls else []
             pages = ray.data.read_parquet(
                 self.pages_path,
                 columns=["url", "html"],
-                filter=pc.field("b").isin(buckets),
+                filter=pc.field("b").isin(buckets) & pc.field("k").isin(kinds),
             )
             extracted = pages.map_batches(
                 make_fetch_extract(sel_ref, cfg.profile, cfg.status_seed, REFERENCE_NOW),
@@ -996,22 +1007,26 @@ class CrawlRun:
             n_buckets = cfg.n_page_buckets
 
             def batch_buckets(t: pa.Table) -> pa.Table:
-                b = np.unique(
-                    url_hash64_batch(t["url"].to_pylist()) % np.uint64(n_buckets)
-                )
-                return pa.table({"b": pa.array(b.astype(np.int64), pa.int64())})
+                urls = t["url"].to_pylist()
+                b = np.unique(url_hash64_batch(urls) % np.uint64(n_buckets))
+                k = np.unique(url_kind_batch(urls))
+                n = max(len(b), len(k))
+                return pa.table({
+                    "b": pa.array(
+                        np.pad(b.astype(np.int64), (0, n - len(b)), mode="edge")
+                    ),
+                    "k": pa.array(np.pad(k, (0, n - len(k)), mode="edge")),
+                })
 
-            buckets = sorted(
-                set(
-                    collect_table(
-                        selected.map_batches(batch_buckets, batch_format="pyarrow")
-                    )["b"].to_pylist()
-                )
+            bk = collect_table(
+                selected.map_batches(batch_buckets, batch_format="pyarrow")
             )
+            buckets = sorted(set(bk["b"].to_pylist()))
+            kinds = sorted(set(bk["k"].to_pylist()))
             pages = ray.data.read_parquet(
                 self.pages_path,
                 columns=["url", "html"],
-                filter=pc.field("b").isin(buckets),
+                filter=pc.field("b").isin(buckets) & pc.field("k").isin(kinds),
             )
             joined = selected.join(
                 pages,

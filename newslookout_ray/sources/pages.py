@@ -120,6 +120,47 @@ def page_url(spec: PagesSpec, page_id: int) -> str:
     return article_url(spec, page_id)
 
 
+#: corpus partition kinds — the second hive level. A real 100-TB page
+#: store keys its shards the same way (seed/hub lists and robots files
+#: are tiny, article WARCs are the bulk), so a fetch for an all-hub or
+#: all-article selection prunes to its own partition instead of
+#: scanning the whole web.
+KIND_ARTICLE, KIND_HUB, KIND_ROBOTS = 0, 1, 2
+
+
+def page_kind(spec: PagesSpec, page_id: int) -> int:
+    if page_id < spec.n_hosts:
+        return KIND_HUB
+    if page_id >= spec.n_pages:
+        return KIND_ROBOTS
+    return KIND_ARTICLE
+
+
+def url_kind(url: str) -> int:
+    """Partition-routing classifier: which corpus kind can hold ``url``.
+    Pure function of URL shape (the same rule ``page_kind`` encodes by
+    id), so the fetch join can push a kind filter without consulting any
+    index."""
+    if url.endswith("/robots.txt"):
+        return KIND_ROBOTS
+    if url.endswith("/"):
+        return KIND_HUB
+    return KIND_ARTICLE
+
+
+def url_kind_batch(urls) -> np.ndarray:
+    """Vectorized ``url_kind`` over a sequence/array of URLs."""
+    arr = np.asarray(urls, dtype=object)
+    out = np.zeros(len(arr), dtype=np.int64)
+    if len(arr) == 0:
+        return out
+    ends_slash = np.char.endswith(arr.astype(str), "/")
+    ends_robots = np.char.endswith(arr.astype(str), "/robots.txt")
+    out[ends_slash] = KIND_HUB
+    out[ends_robots] = KIND_ROBOTS
+    return out
+
+
 def robots_disallow_sections(spec: PagesSpec, host_idx: int) -> list:
     """Deterministic per-host robots policy: ~1 in 4 sections disallowed."""
     return [
@@ -276,6 +317,8 @@ PAGES_SCHEMA = pa.schema(
         ("b", pa.int32()),  # same value duplicated IN-file: ray's parquet
         # filter binds against the file schema only, so row-group/file
         # pruning needs the column physically present
+        ("kind", pa.int32()),  # page kind (article/hub/robots) — hive dir
+        ("k", pa.int32()),  # kind duplicated in-file (same reason as b)
     ]
 )
 
@@ -293,6 +336,8 @@ def _records_to_table(spec: PagesSpec, ids, n_buckets: int) -> pa.Table:
         ),
     }
     cols["b"] = cols["bucket"]
+    cols["kind"] = pa.array([page_kind(spec, int(i)) for i in ids], pa.int32())
+    cols["k"] = cols["kind"]
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
@@ -321,10 +366,13 @@ def write_pages_corpus(spec: PagesSpec, path: str, n_buckets: int = 16) -> str:
     read only the buckets the current frontier touches (filter pushdown
     on the partition column) instead of scanning the whole web each
     round — the on-disk analogue of routing a fetch to the shard that
-    owns the URL.
+    owns the URL. The outer ``kind`` level (article/hub/robots) prunes
+    the hub-seed round and the robots prologue down to their own tiny
+    partitions — without it both cost a full-corpus scan however few
+    pages they fetch.
     """
     ds = make_pages_dataset(spec, n_buckets=n_buckets)
-    ds.write_parquet(path, partition_cols=["bucket"])
+    ds.write_parquet(path, partition_cols=["kind", "bucket"])
     return path
 
 
