@@ -263,13 +263,22 @@ def politeness_select(frontier_ds, budget: int):
 
 
 def politeness_split(frontier_ds, budget: int, max_attempts: int):
-    """politeness_select variant emitting BOTH streams from the one host
-    shuffle: selected rows get ``order_in_host`` 0..B-1 and
-    ``selected=True``; the rest are the deferred carryover (attempts+1,
-    rows over the attempt cap dropped — pending_urls retry semantics,
-    session_hist.py:114). Phase 1 only dedups per url within the batch —
-    no head() truncation, since deferred rows must survive to the next
-    round."""
+    """politeness_select variant emitting BOTH streams from ONE shuffle:
+    selected rows get ``order_in_host`` 0..B-1 and ``selected=True``; the
+    rest are the deferred carryover (attempts+1, rows over the attempt
+    cap dropped — pending_urls retry semantics, session_hist.py:114).
+    Phase 1 only dedups per url within the batch — no head() truncation,
+    since deferred rows must survive to the next round.
+
+    The shuffle key is ``fb = hash(host) % ~2x-cpus``, not host: a host's
+    rows (and therefore a url's duplicates) all land in one partition, so
+    the per-partition pick is exact, while the reduce side runs one
+    vectorized pandas pass per PARTITION (sort + cumcount across all its
+    hosts) instead of one Python ``map_groups`` call per host —
+    host-cardinality Python calls dominated this stage's wall time."""
+    import ray
+
+    num_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(pack=_pack_order(df))
@@ -278,15 +287,28 @@ def politeness_split(frontier_ds, budget: int, max_attempts: int):
             .drop_duplicates("url", keep="first")
             .drop(columns=["pack"])
         )
-        return df
+        fb = pd.util.hash_array(df["host"].to_numpy(object)) % np.uint64(num_parts)
+        return df.assign(fb=fb.astype(np.int64))
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return _pick_group(df, budget, max_attempts)
+    def pick_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["fb"])
+        # exact per-host _pick_group, vectorized across every host in the
+        # partition: _dedup_sort orders by ORDER_KEY (total order), so a
+        # per-host cumcount over it reproduces each host's FIFO rank
+        g = _dedup_sort(df).reset_index(drop=True)
+        rank = g.groupby("host", sort=False).cumcount().to_numpy(np.int64)
+        sel = rank < budget
+        g["order_in_host"] = np.where(sel, rank, -1)
+        g["selected"] = sel
+        att = g["attempts"].to_numpy(np.int32).copy()
+        att[~sel] += 1
+        g["attempts"] = att
+        return g[sel | (att <= max_attempts)]
 
     return (
         frontier_ds.map_batches(partial, batch_format="pandas")
-        .groupby("host")
-        .map_groups(pick, batch_format="pandas")
+        .groupby("fb")
+        .map_groups(pick_part, batch_format="pandas")
     )
 
 
@@ -411,16 +433,22 @@ def make_seen_filter(actors, robots_ref):
     import ray
 
     def stage(batch: pa.Table) -> pa.Table:
-        from ..functions.robotskit import is_allowed
-
         if batch.num_rows == 0:
             return batch
         robots = ray.get(robots_ref) if robots_ref is not None else {}
         if robots:
-            urls = batch["url"].to_pylist()
+            # path extraction via ONE Arrow regex pass (C++), then a thin
+            # dict.get + startswith loop — urlsplit per row was ~4x this
+            paths = pc.replace_substring_regex(
+                batch["url"], pattern=r"^[a-z][a-z0-9+.\-]*://[^/]*", replacement=""
+            ).to_pylist()
             hosts = batch["host"].to_pylist()
+            get = robots.get
             allowed = pa.array(
-                [is_allowed(u, robots.get(h)) for u, h in zip(urls, hosts)]
+                [
+                    not ps or not any(map((pt or "/").startswith, ps))
+                    for pt, ps in zip(paths, (get(h) for h in hosts))
+                ]
             )
             batch = batch.filter(allowed)
             if batch.num_rows == 0:
@@ -778,6 +806,22 @@ def make_sink_stage(
 # ---------------------------------------------------------------------------
 
 
+def _pruned_bytes(pages_path: str, kinds, buckets) -> int:
+    """On-disk bytes of the (kind, bucket) partitions a fetch will read —
+    filesystem metadata only, used to size execution block targets."""
+    total = 0
+    for k in kinds:
+        for b in buckets:
+            d = os.path.join(pages_path, f"kind={int(k)}", f"bucket={int(b)}")
+            if os.path.isdir(d):
+                for name in os.listdir(d):
+                    try:
+                        total += os.path.getsize(os.path.join(d, name))
+                    except OSError:
+                        pass
+    return total
+
+
 def _frontier_from_rows(rows):
     import ray.data
 
@@ -807,6 +851,37 @@ class CrawlRun:
         self.client = SeenSetClient(self.actors)
         self.metrics = []
         self.robots_ref = None  # set in run(): broadcast {host: prefixes}
+        self._prev_block_target = None  # DataContext restore slot
+
+    def _tune_block_target(self, kinds, buckets) -> None:
+        """Scale the execution's target block size to the PRUNED read.
+
+        Ray Data bundles map-task inputs up to target_max_block_size, so
+        a small pruned read (the hub-seed round: tens of MB of link-farm
+        pages, ~7 ms extract cost per page) collapses into a handful of
+        fat tasks whose longest member is the round's wall time at ANY
+        cluster size. Sizing the target so the read fans out to ~3 tasks
+        per CPU keeps small rounds parallel; big rounds keep the default.
+        Restored after the round's execution (_restore_block_target)."""
+        import ray
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        if self._prev_block_target is None:
+            self._prev_block_target = ctx.target_max_block_size
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        disk = _pruned_bytes(self.pages_path, kinds, buckets)
+        if disk <= 0:
+            return
+        mem_est = disk * 4  # decompression / Arrow expansion factor
+        tgt = max(2 << 20, mem_est // (3 * n_cpus))
+        ctx.target_max_block_size = int(min(self._prev_block_target, tgt))
+
+    def _restore_block_target(self) -> None:
+        if self._prev_block_target is not None:
+            from ray.data import DataContext
+
+            DataContext.get_current().target_max_block_size = self._prev_block_target
 
     def _load_robots(self):
         """Fetch every seed host's robots.txt from the corpus (out-of-band
@@ -986,15 +1061,23 @@ class CrawlRun:
             # article-only round reads just its own corpus partition —
             # url-hash buckets can't prune a spread selection, kind can
             kinds = np.unique(url_kind_batch(sel_urls)).tolist() if sel_urls else []
+            self._tune_block_target(kinds, buckets)
             pages = ray.data.read_parquet(
                 self.pages_path,
                 columns=["url", "html"],
                 filter=pc.field("b").isin(buckets) & pc.field("k").isin(kinds),
             )
+            # batch size adapts to the selected count: a small round (the
+            # hub-seed round especially — link-farm pages are ~100x the
+            # extract cost of an article) must still fan out across the
+            # cluster, not coalesce into a handful of fat batches whose
+            # longest task IS the round's wall time
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            eb = max(8, min(cfg.extract_batch_size, sel_count // (4 * n_cpus) or 8))
             extracted = pages.map_batches(
                 make_fetch_extract(sel_ref, cfg.profile, cfg.status_seed, REFERENCE_NOW),
                 batch_format="pyarrow",
-                batch_size=cfg.extract_batch_size,
+                batch_size=eb,
             )
         else:
             # hash-join path: the selected frontier stays distributed.
@@ -1023,6 +1106,7 @@ class CrawlRun:
             )
             buckets = sorted(set(bk["b"].to_pylist()))
             kinds = sorted(set(bk["k"].to_pylist()))
+            self._tune_block_target(kinds, buckets)
             pages = ray.data.read_parquet(
                 self.pages_path,
                 columns=["url", "html"],
@@ -1057,7 +1141,10 @@ class CrawlRun:
         next_frontier = deferred.select_columns(FRONTIER_SCHEMA.names).union(
             links.select_columns(FRONTIER_SCHEMA.names)
         )
-        self._write_frontier(next_frontier, r + 1)
+        try:
+            self._write_frontier(next_frontier, r + 1)
+        finally:
+            self._restore_block_target()
         _mark("fetch_extract_sink")
 
         partials, matched_urls = ray.get(collector.results.remote())
