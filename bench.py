@@ -28,15 +28,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# Sized so parallel compute dominates the ~5 s/round parallelism-
-# independent latency (politeness shuffle launch + sink fixed costs):
-# ~370k fetches over 3 rounds ≈ 2,200 cpu-s of fetch+extract. The
-# round-1 400k-page/112k-fetch corpus (~600 cpu-s) stalled scaling
-# efficiency near 0.48; the round-2 800k/186k corpus reached 0.73 —
-# per-stage manifests showed the residual was the fixed-vs-parallel
-# ratio, not a serial stage, so the corpus doubles again.
-CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "1600000"))
-CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "2400"))
+# Sized so parallel compute dominates the ~3-5 s/round parallelism-
+# independent latency (shuffle launches + sink fixed costs): ~700k
+# fetches over 3 rounds ≈ 4,400 cpu-s of fetch+extract. Progression:
+# 400k pages -> eff 0.48; 800k -> 0.73 (round 2 early); 1.6M + the
+# adaptive-block/politeness/robots fixes -> 0.70 with a 3x faster
+# 32-cpu leg (the fixes cut BOTH legs, which lowers the ratio while
+# raising throughput); 3.2M amortizes the residual per-round constant.
+CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "3200000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "3600"))
 CRAWL_ROUNDS = 3
 CRAWL_BUDGET = 200
 CRAWL_LINKS_PER_HUB = 450

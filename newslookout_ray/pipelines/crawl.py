@@ -54,7 +54,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.urlkit import get_host, url_hash64, url_hash64_batch
+from ..functions.urlkit import get_host, host_arrow, url_hash64, url_hash64_batch
 from ..util import collect_rows, collect_table
 from ..sources.pages import (
     KIND_ROBOTS,
@@ -763,40 +763,44 @@ def make_sink_stage(
         ray.get(collector.add.remote(fp, _partial_metrics_df(batch, parts), urls))
 
         # 4. link explode + transient retries → next-round frontier rows
-        out = {n: [] for n in FRONTIER_SCHEMA.names}
-        links_col = batch["links"].to_pylist()
-        orders = batch["order_in_host"].to_pylist()
-        depths = batch["depth"].to_pylist()
-        for i, links in enumerate(links_col):
-            if not links:
-                continue
-            for j, link in enumerate(links):
-                url = link.lower()
-                out["url"].append(url)
-                out["host"].append(get_host(url))
-                out["birth_round"].append(r + 1)
-                out["pseq"].append(orders[i])
-                out["lidx"].append(j)
-                out["depth"].append(depths[i] + 1)
-                out["attempts"].append(0)
-        if retryable.any():
-            hosts = batch["host"].to_pylist()
-            births = batch["birth_round"].to_pylist()
-            pseqs = batch["pseq"].to_pylist()
-            lidxs = batch["lidx"].to_pylist()
-            for i in np.nonzero(retryable)[0]:
-                # keep the ORIGINAL order key → the retry sorts ahead of
-                # younger urls in the next round's per-host FIFO
-                out["url"].append(urls[i])
-                out["host"].append(hosts[i])
-                out["birth_round"].append(births[i])
-                out["pseq"].append(pseqs[i])
-                out["lidx"].append(lidxs[i])
-                out["depth"].append(depths[i])
-                out["attempts"].append(int(attempts[i]) + 1)
-        return pa.table(
-            {n: pa.array(out[n], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
+        #    (Arrow list kernels end to end — a per-link Python loop here
+        #    costs seconds per round at millions of discovered links)
+        la = batch["links"].combine_chunks()
+        flat = pc.list_flatten(la)
+        parent = pc.list_parent_indices(la).to_numpy().astype(np.int64)
+        lens = pc.list_value_length(la).fill_null(0).to_numpy().astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        lidx = np.arange(len(flat), dtype=np.int64) - np.repeat(offsets[:-1], lens)
+        url_l = pc.utf8_lower(flat)
+        exploded = pa.table(
+            {
+                "url": url_l,
+                "host": host_arrow(url_l),
+                "birth_round": pa.array(
+                    np.full(len(flat), r + 1, dtype=np.int32), pa.int32()
+                ),
+                "pseq": pa.array(
+                    batch["order_in_host"].to_numpy().astype(np.int64)[parent]
+                ),
+                "lidx": pa.array(lidx),
+                "depth": pa.array(
+                    batch["depth"].to_numpy().astype(np.int32)[parent] + 1, pa.int32()
+                ),
+                "attempts": pa.array(np.zeros(len(flat), dtype=np.int32), pa.int32()),
+            },
+            schema=FRONTIER_SCHEMA,
         )
+        if retryable.any():
+            # keep the ORIGINAL order key → the retry sorts ahead of
+            # younger urls in the next round's per-host FIFO
+            idx = pa.array(np.nonzero(retryable)[0])
+            retry = batch.select(FRONTIER_SCHEMA.names).take(idx)
+            att = pc.add(retry["attempts"], 1).cast(pa.int32())
+            retry = retry.set_column(
+                retry.schema.get_field_index("attempts"), "attempts", att
+            ).cast(FRONTIER_SCHEMA)
+            return pa.concat_tables([exploded, retry])
+        return exploded
 
     return stage
 
@@ -810,16 +814,35 @@ def _pruned_bytes(pages_path: str, kinds, buckets) -> int:
     """On-disk bytes of the (kind, bucket) partitions a fetch will read —
     filesystem metadata only, used to size execution block targets."""
     total = 0
+    for f in _pruned_dirs(pages_path, kinds, buckets):
+        if os.path.isfile(f):  # fallback returns the corpus root dir
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+    return total
+
+
+def _pruned_dirs(pages_path: str, kinds, buckets) -> list:
+    """Partition directories a (kind, bucket) selection touches. Passing
+    these as the read paths (instead of the corpus root) keeps the read's
+    file listing AND task count proportional to the pruned set — reading
+    the root schedules one task per corpus file even when the filter
+    empties most of them, a driver-side cost independent of cluster
+    size. Falls back to the root for non-hive layouts. The in-file
+    ``b``/``k`` mirror columns keep the row filter valid without the
+    hive-inferred partition columns."""
+    files = []
     for k in kinds:
         for b in buckets:
             d = os.path.join(pages_path, f"kind={int(k)}", f"bucket={int(b)}")
             if os.path.isdir(d):
-                for name in os.listdir(d):
-                    try:
-                        total += os.path.getsize(os.path.join(d, name))
-                    except OSError:
-                        pass
-    return total
+                files.extend(
+                    os.path.join(d, n)
+                    for n in sorted(os.listdir(d))
+                    if n.endswith(".parquet")
+                )
+    return files if files else [pages_path]
 
 
 def _frontier_from_rows(rows):
@@ -901,7 +924,7 @@ class CrawlRun:
         # kind pruning: robots bodies live in their own (tiny) partition —
         # without the k filter this prologue scans the whole corpus
         pages = ray.data.read_parquet(
-            self.pages_path,
+            _pruned_dirs(self.pages_path, [KIND_ROBOTS], buckets),
             columns=["url", "html"],
             filter=pc.field("b").isin(buckets) & (pc.field("k") == KIND_ROBOTS),
         )
@@ -1063,7 +1086,7 @@ class CrawlRun:
             kinds = np.unique(url_kind_batch(sel_urls)).tolist() if sel_urls else []
             self._tune_block_target(kinds, buckets)
             pages = ray.data.read_parquet(
-                self.pages_path,
+                _pruned_dirs(self.pages_path, kinds, buckets),
                 columns=["url", "html"],
                 filter=pc.field("b").isin(buckets) & pc.field("k").isin(kinds),
             )
@@ -1108,7 +1131,7 @@ class CrawlRun:
             kinds = sorted(set(bk["k"].to_pylist()))
             self._tune_block_target(kinds, buckets)
             pages = ray.data.read_parquet(
-                self.pages_path,
+                _pruned_dirs(self.pages_path, kinds, buckets),
                 columns=["url", "html"],
                 filter=pc.field("b").isin(buckets) & pc.field("k").isin(kinds),
             )
