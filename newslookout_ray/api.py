@@ -220,6 +220,15 @@ def _q_asof_join(sf):
     )
 
 
+def _q_range_join(sf):
+    """Distributed range join: same-type event pairs within 300 s of
+    each other (bucket-replication interval join)."""
+    return relational.range_join_event_pairs(
+        _read(sf, "events").select_columns(["event_id", "ts", "event_type"]),
+        tolerance_sec=300,
+    )
+
+
 def _q_region_rollup(sf):
     return relational.region_customer_rollup(
         _read(sf, "customer"), _read(sf, "nation"), _read(sf, "region")
@@ -601,6 +610,7 @@ QUERIES = {
     "windowed_counts": _q_window,
     "session_windows": _q_session_windows,
     "asof_join": _q_asof_join,
+    "range_join": _q_range_join,
     "region_rollup": _q_region_rollup,
     "priority_revenue": _q_priority_revenue,
     "per_key_limit": _q_per_key_limit,
@@ -752,6 +762,14 @@ def _oracle_sql() -> dict:
                o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate,
                o_totalprice AS asof_totalprice
         FROM j WHERE rn = 1
+    """
+    sql["range_join"] = """
+        SELECT a.event_id AS left_id, b.event_id AS right_id, a.event_type,
+               (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS gap_us
+        FROM events a JOIN events b
+          ON a.event_type = b.event_type
+         AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+         AND b.ts <= a.ts + INTERVAL 300 SECOND
     """
     sql["region_rollup"] = """
         SELECT r.r_name,

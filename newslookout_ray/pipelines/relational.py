@@ -453,3 +453,81 @@ def asof_join_events_orders(events, orders, num_buckets: int = 64):
         )
 
     return unioned.groupby("b").map_groups(per_bucket, batch_format="pandas")
+
+
+def range_join_event_pairs(events, tolerance_sec: int = 300):
+    """Distributed range (interval-proximity) join — an operator Ray
+    Data lacks: all pairs of same-type events whose timestamps lie
+    within ``tolerance_sec`` of each other. The earlier event is the
+    left side; ts ties order by event_id.
+
+    Shape: the classic bucket-replication interval join. Time is split
+    into buckets of width == tolerance; every event lands in its home
+    bucket and a replica lands in the NEXT bucket, so any in-range pair
+    co-locates in the later event's home bucket and is emitted there
+    (and only there — replication never duplicates output). ONE
+    single-key shuffle on the exact (event_type, time_bucket) string
+    key; inside a group one sort + one vectorized searchsorted pass
+    emits exactly the in-range pairs — O(group log group + matches),
+    never the bucket cross-product. Partitioning assumption: the events
+    of one (type, tolerance-window) bucket fit in one group; at scale a
+    hot window is split by salting the bucket key with k sub-windows of
+    width tol/k (each event then replicates to k+1 sub-buckets).
+    """
+    tol_us = np.int64(tolerance_sec) * 1_000_000
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        bucket = ts_us // tol_us
+        types = batch["event_type"].to_pylist()
+        home_keys = [f"{t}#{b}" for t, b in zip(types, bucket)]
+        next_keys = [f"{t}#{b + 1}" for t, b in zip(types, bucket)]
+        n = batch.num_rows
+        ids = batch["event_id"]
+        return pa.table(
+            {
+                "k": pa.array(home_keys + next_keys, pa.string()),
+                "event_id": pa.concat_arrays([ids.combine_chunks()] * 2),
+                "ts_us": pa.array(np.concatenate([ts_us, ts_us])),
+                "home": pa.array(
+                    np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
+                ),
+            }
+        )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = df["ts_us"].to_numpy()
+        ids = df["event_id"].to_numpy()
+        home = df["home"].to_numpy()
+        pos = np.arange(len(ts))
+        lo = np.searchsorted(ts, ts - tol_us, side="left")
+        cnt = np.where(home, pos - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series([], dtype="int64"),
+                    "right_id": pd.Series([], dtype="int64"),
+                    "event_type": pd.Series([], dtype="object"),
+                    "gap_us": pd.Series([], dtype="int64"),
+                }
+            )
+        right = np.repeat(pos, cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        left = np.arange(total) - np.repeat(offs, cnt) + np.repeat(lo, cnt)
+        etype = df["k"].iloc[0].rsplit("#", 1)[0]
+        return pd.DataFrame(
+            {
+                "left_id": ids[left],
+                "right_id": ids[right],
+                "event_type": etype,
+                "gap_us": ts[right] - ts[left],
+            }
+        )
+
+    return (
+        events.map_batches(replicate, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(per_group, batch_format="pandas")
+    )

@@ -130,3 +130,55 @@ class TestAsofJoin:
             ray.data.from_arrow(events), ray.data.from_arrow(orders), num_buckets=2
         ).to_pandas()
         assert list(out["asof_orderkey"]) == [11]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def _run(self, ids, ts, types, tol):
+        import ray.data
+
+        events = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+            }
+        )
+        out = relational.range_join_event_pairs(
+            ray.data.from_arrow(events), tolerance_sec=tol
+        ).to_pandas()
+        return set(zip(out["left_id"], out["right_id"])), out
+
+    def test_exact_tolerance_included_and_cross_bucket_once(self):
+        # 10:00:00 / 10:04:59 straddle no bucket edge; 10:04:59 /
+        # 10:09:59 (gap == 300 s) straddles the 10:05 bucket boundary —
+        # the replication must find it exactly once
+        pairs, out = self._run(
+            [1, 2, 3],
+            [_ts(0), _ts(4, 59), _ts(9, 59)],
+            ["click"] * 3,
+            300,
+        )
+        assert pairs == {(1, 2), (2, 3)}  # (1,3) gap 599s > 300s
+        assert len(out) == 2  # no duplicate emission from replicas
+        assert sorted(out["gap_us"]) == [299_000_000, 300_000_000]
+
+    def test_type_isolation_and_ts_ties(self):
+        # same timestamp, same type: tie orders by event_id (5 < 9);
+        # different type never pairs however close
+        pairs, out = self._run(
+            [9, 5, 7],
+            [_ts(0), _ts(0), _ts(0, 30)],
+            ["view", "view", "error"],
+            300,
+        )
+        assert pairs == {(5, 9)}
+        assert list(out["gap_us"]) == [0]
+
+    def test_pair_never_duplicated_when_both_replicate(self):
+        # both events inside one bucket: their replicas co-exist in the
+        # next bucket but must not re-emit the pair there
+        pairs, out = self._run(
+            [1, 2], [_ts(0, 10), _ts(0, 20)], ["click", "click"], 300
+        )
+        assert pairs == {(1, 2)} and len(out) == 1
