@@ -846,5 +846,8 @@ def oracle_sql() -> dict:
 
 
 def entry():
-    """Flagship smoke: crawl over pages wrapping sf0.001 documents."""
-    return _q_crawl_articles("/root/testdata/sf0.001")
+    """Flagship smoke: crawl over pages wrapping sf0.001 documents.
+
+    Returns pandas (the driver contract is Dataset | DataFrame; the
+    crawl's article view is a small checkpoint-backed Arrow table)."""
+    return _q_crawl_articles("/root/testdata/sf0.001").to_pandas()
