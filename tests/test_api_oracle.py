@@ -54,5 +54,5 @@ def test_query_matches_oracle(name, con):
 @pytest.mark.usefixtures("ray_session")
 def test_entry_smoke():
     out = api.entry()
-    assert out.num_rows > 0
-    assert {"url", "unique_id", "text", "pubdate"} <= set(out.schema.names)
+    assert len(out) > 0
+    assert {"url", "unique_id", "text", "pubdate"} <= set(out.columns)
