@@ -71,6 +71,19 @@ def build_corpus_once(sf_dir: str, spec):
     return path
 
 
+# driver-side logger levels don't reach worker processes; without this
+# hook Ray Data's benign "Failed to hash the schemas" warning (a
+# pyarrow-Schema-set fallback inside unify_schemas) spams stderr at
+# sf0.1 block counts. A lambda so cloudpickle ships it by value —
+# workers can't re-import this script as a module.
+# importing ray.data first matters: its import configures the logger
+# tree and would override a level set before it
+_QUIET_WORKER_LOGS = lambda: (  # noqa: E731
+    __import__("ray.data"),
+    __import__("logging").getLogger("ray.data").setLevel(40),
+)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -80,6 +93,7 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _QUIET_WORKER_LOGS},
     )
     from ray.data import DataContext
 
