@@ -332,7 +332,11 @@ DEFAULT_CHAIN = [
 
 
 def run_processor_chain(
-    articles, chain=None, concurrency: int = 2, marks_broadcast_limit: int = 5_000_000
+    articles,
+    chain=None,
+    concurrency: int = 2,
+    marks_broadcast_limit: int = 5_000_000,
+    overlap_marks: bool = True,
 ):
     """Apply the processor stages in ascending priority order (O1).
 
@@ -340,6 +344,15 @@ def run_processor_chain(
     — two chained fixed-size pools that together reserve every CPU starve
     the upstream read tasks and deadlock the streaming executor (observed
     live at 2×24 pools on 32 CPUs). Size ``concurrency`` ≤ cpus // pools.
+
+    ``overlap_marks``: when the near-dedup marks fit the broadcast limit,
+    compute them in a background thread so the marks execution and the
+    enriched main stream run CONCURRENTLY (the attach stage blocks its
+    first batches on a zero-CPU rendezvous actor). The two executions
+    were strictly sequential before — the marks branch (~70% of chain
+    wall) idled the CPUs the main stream could use and vice versa. Pass
+    ``marks_broadcast_limit=0`` to force the hash-join attach (the scale
+    path when even the duplicate-url subset is too big to broadcast).
     """
     if chain is None:
         chain = DEFAULT_CHAIN
@@ -360,9 +373,14 @@ def run_processor_chain(
                 stage, batch_format="pyarrow", concurrency=(1, max(1, concurrency))
             )
         elif kind == "dedup_marks":
-            out = _attach_dedup_marks(
-                out, stage, marks_broadcast_limit, marks_input=text_state
-            )
+            if overlap_marks and marks_broadcast_limit > 0:
+                out = _attach_dedup_marks_overlapped(
+                    out, stage, marks_broadcast_limit, marks_input=text_state
+                )
+            else:
+                out = _attach_dedup_marks(
+                    out, stage, marks_broadcast_limit, marks_input=text_state
+                )
         elif kind == "group_pubdate":
             out = out.groupby("pubdate").map_groups(stage, batch_format="pandas")
         else:
@@ -387,6 +405,136 @@ def _cached_dup_urls(dup_ref):
     return cached
 
 
+def _marks_dataset(marks_input, group_stage):
+    """featurize → date groupby → per-date marks (url, is_duplicate)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (
+        marks_input.map_batches(featurize_for_dedup, batch_format="pyarrow")
+        # spread the compact rows over >=2x-cpu blocks so the sort-based
+        # groupby emits that many range partitions and the per-date
+        # kernels run as parallel tasks (measured 2x on the bench corpus)
+        .repartition(max(32, cpus * 2))
+        .groupby("pubdate")
+        .map_groups(group_stage, batch_format="pyarrow")
+    )
+
+
+_MARKS_BOX_CLS = None
+
+
+def _marks_box_cls():
+    """Zero-CPU async rendezvous actor: the overlapped marks thread
+    put()s the duplicate-url array once; attach tasks await get()."""
+    global _MARKS_BOX_CLS
+    if _MARKS_BOX_CLS is None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _MarksBox:
+            def __init__(self):
+                import asyncio
+
+                self._event = asyncio.Event()
+                self._val = None
+
+            async def put(self, val):
+                self._val = val
+                self._event.set()
+
+            async def get(self):
+                await self._event.wait()
+                return self._val
+
+        _MARKS_BOX_CLS = _MarksBox
+    return _MARKS_BOX_CLS
+
+
+def _cached_box_value(box):
+    """Per-worker one-time fetch of the rendezvous value (blocks until
+    the marks thread put() it)."""
+    import ray
+
+    key = box._actor_id.hex()
+    if key not in _FLAGS_CACHE:
+        val = ray.get(box.get.remote())
+        _FLAGS_CACHE.clear()  # one live chain at a time
+        _FLAGS_CACHE[key] = val
+    return _FLAGS_CACHE[key]
+
+
+def _attach_dedup_marks_overlapped(
+    out, group_stage, marks_broadcast_limit: int, marks_input
+):
+    """Overlapped near-dedup attach: the marks branch runs in a driver
+    background thread as its OWN Dataset execution while the enriched
+    main stream executes; the attach stage parks its first batches on a
+    zero-CPU rendezvous actor until the duplicate-url array arrives.
+
+    Streaming contract notes:
+      - the enriched stream is NOT materialized — the executor's
+        backpressure bounds how many pre-attach blocks buffer while the
+        marks compute, and upstream simply pauses (freeing CPUs for the
+        marks execution) when the buffer fills;
+      - only the DUPLICATE urls travel (filtered inside the marks
+        dataset — the driver never holds the full marks table, unlike
+        the sequential path's probe);
+      - attach tasks briefly BLOCK on the rendezvous: they are capped at
+        4 concurrent tasks × 0.25 CPU so at most one CPU-equivalent sits
+        parked — everything else keeps streaming (a full-width blocking
+        stage would deadlock the executor);
+      - if the duplicate set overflows ``marks_broadcast_limit`` the
+        attach raises with guidance to re-run with
+        ``marks_broadcast_limit=0`` (the hash-join path). Duplicates are
+        a sparse subset of articles, so this bound scales ~10× past the
+        old all-marks probe.
+    """
+    import threading
+
+    import ray
+
+    from ..util import collect_table
+
+    box = _marks_box_cls().remote()
+
+    def compute_marks():
+        try:
+            dups = _marks_dataset(marks_input, group_stage).map_batches(
+                lambda t: t.filter(t["is_duplicate"]).select(["url"]),
+                batch_format="pyarrow",
+            )
+            probe = collect_table(dups.limit(marks_broadcast_limit + 1))
+            if probe.num_rows > marks_broadcast_limit:
+                ray.get(box.put.remote(None))
+            else:
+                ray.get(box.put.remote(probe["url"].combine_chunks()))
+        except BaseException:
+            # surface the failure through the rendezvous so attach tasks
+            # fail fast instead of waiting forever
+            try:
+                ray.get(box.put.remote(None))
+            finally:
+                raise
+
+    threading.Thread(target=compute_marks, daemon=True).start()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dup = _cached_box_value(box)
+        if dup is None:
+            raise RuntimeError(
+                "near-dedup duplicate set exceeded marks_broadcast_limit "
+                "(or the marks branch failed) in overlapped mode; re-run "
+                "with marks_broadcast_limit=0 to use the hash-join attach"
+            )
+        col = pc.is_in(batch["url"].combine_chunks(), value_set=dup)
+        return batch.append_column("is_duplicate", pc.fill_null(col, False))
+
+    return out.map_batches(
+        attach, batch_format="pyarrow", num_cpus=0.25, concurrency=4
+    )
+
+
 def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_input=None):
     """Compact near-dedup flow: shuffle only (url, module, pubdate,
     size, vec) through the date groupby, then attach the
@@ -408,15 +556,7 @@ def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_inpu
     if marks_input is None:
         out = marks_input = out.materialize()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    marks = (
-        marks_input.map_batches(featurize_for_dedup, batch_format="pyarrow")
-        # spread the compact rows over >=2x-cpu blocks so the sort-based
-        # groupby emits that many range partitions and the per-date
-        # kernels run as parallel tasks (measured 2x on the bench corpus)
-        .repartition(max(32, cpus * 2))
-        .groupby("pubdate")
-        .map_groups(group_stage, batch_format="pyarrow")
-    )
+    marks = _marks_dataset(marks_input, group_stage)
     probe = collect_table(marks.limit(marks_broadcast_limit + 1))
     if probe.num_rows <= marks_broadcast_limit:
         # only the DUPLICATE urls need to travel (marks are sparse): the
