@@ -551,6 +551,18 @@ def _q_lsh_ann_topk(sf):
     return similarity.lsh_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _q_embedding_near_lsh(sf):
+    """Distributed embedding near-dup scale path (LSH-bucketed pair
+    generation; nothing driver-side). The sf testdata's true pairs all
+    sit at cosine 0.4-0.6 — the hardest LSH regime — so the query runs
+    wide-recall params (3 bits x 12 tables); precision is exact by
+    construction and recall vs the exact baseline is test-measured
+    (approximate by design → rows-only)."""
+    return dedup.embedding_near_pairs_lsh(
+        _read(sf, "embeddings"), threshold=COSINE_THRESHOLD, bits=3, tables=12
+    )
+
+
 def _q_ivf_ann_topk(sf):
     """ANN scale path #2: IVF-flat (spherical-kmeans coarse quantizer,
     nprobe inverted-list probing; approximate by design → rows-only;
@@ -603,6 +615,7 @@ QUERIES = {
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
     "dedup_embedding": _q_embedding_near,
+    "dedup_embedding_lsh": _q_embedding_near_lsh,
     "ann_topk": _q_ann_topk,
     "pricing_summary": _q_pricing,
     "status_counts": _q_status_counts,

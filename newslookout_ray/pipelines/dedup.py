@@ -548,3 +548,129 @@ def embedding_near_pairs(embeddings, threshold: float = 0.4):
         )
 
     return embeddings.map_batches(stage, batch_format="pyarrow", batch_size=512)
+
+
+def embedding_near_pairs_lsh(
+    embeddings,
+    threshold: float = 0.9,
+    bits: int = 8,
+    tables: int = 6,
+):
+    """Distributed embedding near-duplicate pairs: LSH-bucketed pair
+    generation — the SCALE PATH whose exact-all-pairs oracle is
+    ``embedding_near_pairs`` (which broadcasts the whole matrix and is
+    labeled small-scale-only).
+
+    Shape (everything streams; nothing driver-side):
+      1. ``map_batches``: L2-normalize each vector, hash it into
+         ``tables`` independent hyperplane tables → emit one
+         (bkt, vec_id, vec) row per table (the classic L-tables
+         replication; shuffle volume = tables × corpus);
+      2. ``groupby(bkt).map_groups``: EXACT pairwise cosine inside each
+         bucket (GEMM), emit (a, b, cosine) for cosine ≥ threshold —
+         so precision is exact by construction; only recall is
+         approximate (a pair is found iff it co-buckets in ≥1 table);
+      3. ``groupby(a, b)``: first-row dedup of pairs found in several
+         tables.
+
+    Partitioning assumptions (documented per the operator contract):
+    bucket population ~ corpus/2^bits per table — random hyperplanes on
+    spread-out embeddings keep buckets bounded; a pathological hot
+    bucket degrades to the exact kernel on that bucket only (O(b²)).
+    Defaults target the near-dup regime (high threshold): per-bit
+    collision p = 1 − θ/π ≈ 0.86 at cosine 0.9, so 8 bits × 6 tables
+    gives ~0.98 recall. For LOW thresholds p falls toward 0.6 and LSH
+    stops pruning — use fewer bits / more tables (recall measured in
+    tests/test_dedup.py against the exact baseline).
+
+    Reference anchor: mod_dedupe.py:204-242 decides duplicates by a
+    cosine threshold over document vectors; this operator is that
+    decision rule's pair-generation stage at corpus scale.
+    """
+    import ray  # noqa: F401  (Dataset ops only; no driver collection)
+
+    from .similarity import HyperplaneLSH, _normalized
+
+    dim = None  # inferred per batch; hyperplanes derive from (dim, seed)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        d = mat.shape[1]
+        out_ids = np.tile(ids, tables)
+        out_bkt = np.concatenate(
+            [
+                t * (1 << bits)
+                + HyperplaneLSH(dim=d, bits=bits, seed=0xA11CE + t).bucket(mat)
+                for t in range(tables)
+            ]
+        ).astype(np.int64)
+        flat = np.tile(mat.reshape(-1), tables)
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), d)
+        return pa.table(
+            {
+                "bkt": pa.array(out_bkt, pa.int64()),
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "vec": vec,
+            }
+        )
+
+    thr = threshold
+
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n < 2:
+            return _empty_pairs()
+        ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        d = len(tbl["vec"][0])
+        mat = (
+            tbl["vec"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(n, d)
+        )
+        # chunked slabs like the near-dedup screen: memory O(chunk·n)
+        chunk = max(64, (1 << 21) // max(1, n))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            sims = mat[s:e] @ mat.T
+            ii, jj = np.nonzero(sims >= thr)
+            keep = (ii + s) < jj  # upper triangle, drops self-pairs
+            ci, cj = ii[keep], jj[keep]
+            if len(ci):
+                a = np.minimum(ids[ci + s], ids[cj])
+                b = np.maximum(ids[ci + s], ids[cj])
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(sims[ci, cj])
+        if not out_a:
+            return _empty_pairs()
+        cos = [floor_round(float(c), 4) for c in np.concatenate(out_c)]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a), pa.int64()),
+                "b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    def first_row(df: pd.DataFrame) -> pd.DataFrame:
+        return df.head(1)
+
+    pairs = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(expand, batch_format="pyarrow", batch_size=1024)
+        .groupby("bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(first_row, batch_format="pandas")
+    )
+    return pairs

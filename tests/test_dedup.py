@@ -132,3 +132,58 @@ class TestEmbeddingNearDup:
         out = dedup.embedding_near_pairs(ds, threshold=0.95).to_pandas()
         assert set(zip(out["a"], out["b"])) == {(0, 1)}
         assert out["cosine"].iloc[0] > 0.99
+
+    def test_lsh_high_sim_regime(self, ray_session):
+        """Design regime: clusters of near-identical vectors (cosine
+        >= 0.95). Precision must be exact (every emitted pair is a true
+        pair with the true cosine); recall deterministic-high."""
+        import ray.data
+
+        rng = np.random.default_rng(7)
+        rows, truth = [], set()
+        vid = 0
+        for c in range(12):
+            base = rng.normal(size=64)
+            members = []
+            for _ in range(3):
+                rows.append(
+                    {"vec_id": vid, "embedding": list(base + rng.normal(scale=0.02, size=64))}
+                )
+                members.append(vid)
+                vid += 1
+            truth |= {(a, b) for i, a in enumerate(members) for b in members[i + 1 :]}
+        for _ in range(40):  # background noise vectors
+            rows.append({"vec_id": vid, "embedding": list(rng.normal(size=64))})
+            vid += 1
+        ds = ray.data.from_items(rows)
+        exact = dedup.embedding_near_pairs(ds, threshold=0.95).to_pandas()
+        exact_pairs = set(zip(exact["a"], exact["b"]))
+        assert exact_pairs == truth  # sanity: clusters are the truth
+        got = dedup.embedding_near_pairs_lsh(
+            ds, threshold=0.95, bits=8, tables=6
+        ).to_pandas()
+        got_pairs = set(zip(got["a"], got["b"]))
+        assert got_pairs <= exact_pairs  # exact precision by construction
+        assert len(got_pairs) / len(exact_pairs) >= 0.9  # deterministic seeds
+        # cosines of recalled pairs equal the exact kernel's values
+        em = {(a, b): c for a, b, c in zip(exact["a"], exact["b"], exact["cosine"])}
+        for a, b, c in zip(got["a"], got["b"], got["cosine"]):
+            assert abs(em[(a, b)] - c) < 1e-9
+
+    def test_lsh_low_threshold_wide_recall(self, ray_session):
+        """The sf-testdata regime (all true pairs at cosine 0.4-0.6):
+        wide-recall params (3 bits x 12 tables) must recover >= 90% of
+        the exact pairs, with no false pairs."""
+        import ray.data
+
+        sf = "/root/testdata/sf0.001"
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+        exact = dedup.embedding_near_pairs(ds, threshold=0.4).to_pandas()
+        exact_pairs = set(zip(exact["a"], exact["b"]))
+        got = dedup.embedding_near_pairs_lsh(
+            ds, threshold=0.4, bits=3, tables=12
+        ).to_pandas()
+        got_pairs = set(zip(got["a"], got["b"]))
+        assert got_pairs <= exact_pairs
+        if exact_pairs:
+            assert len(got_pairs) / len(exact_pairs) >= 0.9
