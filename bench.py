@@ -138,6 +138,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_minhash_lsh",
         "ann_topk",
+        "dedup_embedding_lsh",
         "clean_text",
     ]
     q = api.queries()

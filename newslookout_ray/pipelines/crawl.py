@@ -43,6 +43,7 @@ Scale design notes (10^10-URL frontier, multi-node):
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -110,6 +111,18 @@ class CrawlConfig:
     #: >1 enables two-phase salted politeness (hot-host skew safety):
     #: phase-1 groups on host#salt so no task holds a whole hot host
     politeness_salt_k: int = 1
+    #: frontier parquet is written hive-partitioned by fb =
+    #: hash(host) % frontier_buckets, so the NEXT round's politeness
+    #: needs NO shuffle at all — each fb directory already holds every
+    #: row of its hosts (a url's duplicates included), and the exact
+    #: per-host pick runs as one task per directory. The ~5-9 s/round
+    #: sort-shuffle this replaces was the crawl's largest
+    #: parallelism-independent cost (the write-side split is free: each
+    #: sink task fans its block into per-fb files locally). Set to 0 to
+    #: restore the single-dir write + shuffle-based politeness (always
+    #: used when politeness_salt_k > 1 — the salted two-phase needs its
+    #: own grouping).
+    frontier_buckets: int = 64
     metrics_partitions: int = 8
     profile: SiteProfile = field(default_factory=lambda: DEFAULT_PROFILE)
 
@@ -262,6 +275,25 @@ def politeness_select(frontier_ds, budget: int):
     )
 
 
+def _politeness_pick_block(
+    df: pd.DataFrame, budget: int, max_attempts: int
+) -> pd.DataFrame:
+    """Exact politeness over one co-located block of hosts: every row of
+    each present host (and hence every duplicate of each url) must be in
+    ``df``. The per-host _pick_group, vectorized across every host in
+    the block: _dedup_sort orders by ORDER_KEY (total order), so a
+    per-host cumcount over it reproduces each host's FIFO rank."""
+    g = _dedup_sort(df).reset_index(drop=True)
+    rank = g.groupby("host", sort=False).cumcount().to_numpy(np.int64)
+    sel = rank < budget
+    g["order_in_host"] = np.where(sel, rank, -1)
+    g["selected"] = sel
+    att = g["attempts"].to_numpy(np.int32).copy()
+    att[~sel] += 1
+    g["attempts"] = att
+    return g[sel | (att <= max_attempts)]
+
+
 def politeness_split(frontier_ds, budget: int, max_attempts: int):
     """politeness_select variant emitting BOTH streams from ONE shuffle:
     selected rows get ``order_in_host`` 0..B-1 and ``selected=True``; the
@@ -291,25 +323,61 @@ def politeness_split(frontier_ds, budget: int, max_attempts: int):
         return df.assign(fb=fb.astype(np.int64))
 
     def pick_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["fb"])
-        # exact per-host _pick_group, vectorized across every host in the
-        # partition: _dedup_sort orders by ORDER_KEY (total order), so a
-        # per-host cumcount over it reproduces each host's FIFO rank
-        g = _dedup_sort(df).reset_index(drop=True)
-        rank = g.groupby("host", sort=False).cumcount().to_numpy(np.int64)
-        sel = rank < budget
-        g["order_in_host"] = np.where(sel, rank, -1)
-        g["selected"] = sel
-        att = g["attempts"].to_numpy(np.int32).copy()
-        att[~sel] += 1
-        g["attempts"] = att
-        return g[sel | (att <= max_attempts)]
+        return _politeness_pick_block(df.drop(columns=["fb"]), budget, max_attempts)
 
     return (
         frontier_ds.map_batches(partial, batch_format="pandas")
         .groupby("fb")
         .map_groups(pick_part, batch_format="pandas")
     )
+
+
+def _frontier_fb(hosts: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Write-side frontier bucket: same-host rows (hence all duplicates
+    of a url) always share fb, which is the whole correctness contract of
+    the shuffle-free politeness read."""
+    return (
+        pd.util.hash_array(np.asarray(hosts, dtype=object)) % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+_POLITENESS_COLS = list(FRONTIER_SCHEMA.names) + ["order_in_host", "selected"]
+
+
+def _empty_politeness_table() -> pa.Table:
+    cols = {n: pa.array([], FRONTIER_SCHEMA.field(n).type) for n in FRONTIER_SCHEMA.names}
+    cols["order_in_host"] = pa.array([], pa.int64())
+    cols["selected"] = pa.array([], pa.bool_())
+    return pa.table(cols)
+
+
+def make_bucketed_politeness(actors, robots_ref, budget: int, max_attempts: int):
+    """Shuffle-free politeness over a bucketed frontier: one task per
+    fb directory — load the whole partition, seen/robots-filter it, run
+    the exact per-host pick. Correct because the write partitioned by
+    hash(host): a batch holds WHOLE fb partitions, so every row of every
+    present host is in the batch (grouping several whole partitions into
+    one batch stays exact — hosts never span fb values)."""
+    seen_fn = make_seen_filter(actors, robots_ref)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        # one pads.dataset per directory (pyarrow rejects dir lists);
+        # batches normally hold one fb dir each (batch_size=1)
+        parts = [
+            pads.dataset(p).to_table(columns=list(FRONTIER_SCHEMA.names))
+            for p in batch["path"].to_pylist()
+        ]
+        tbl = pa.concat_tables(parts) if parts else _empty_politeness_table()
+        if tbl.num_rows:
+            tbl = seen_fn(tbl)
+        if tbl.num_rows == 0:
+            return _empty_politeness_table()
+        out = _politeness_pick_block(tbl.to_pandas(), budget, max_attempts)
+        return pa.Table.from_pandas(out[_POLITENESS_COLS], preserve_index=False)
+
+    return fn
 
 
 def _pick_group(df: pd.DataFrame, budget: int, max_attempts: int) -> pd.DataFrame:
@@ -956,7 +1024,23 @@ class CrawlRun:
             ds = _frontier_from_rows(ds_or_rows)
         else:
             ds = ds_or_rows
-        ds.write_parquet(path)
+        fb_n = self.cfg.frontier_buckets
+        if fb_n > 1 and self.cfg.politeness_salt_k <= 1:
+            # hive-partition by host bucket: each sink task fans its
+            # block into per-fb files locally (no shuffle), and the next
+            # round's politeness reads per-directory with no shuffle
+            ds = ds.map_batches(
+                lambda t: t.append_column(
+                    "fb",
+                    pa.array(
+                        _frontier_fb(np.asarray(t["host"].to_pylist()), fb_n)
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            ds.write_parquet(path, partition_cols=["fb"])
+        else:
+            ds.write_parquet(path)
 
     def _read_frontier(self, r: int):
         import ray.data
@@ -1016,28 +1100,52 @@ class CrawlRun:
         os.makedirs(fetched_dir, exist_ok=True)
         shutil.rmtree(_frontier_dir(cfg, r + 1), ignore_errors=True)
 
-        frontier = self._read_frontier(r)
-
-        # Execution 1 — ONE shuffle: seen/robots filter (lazy tasks) feeds
-        # the fused dedup + politeness split, which emits selected AND
-        # deferred rows together; a pass-through reporter ships each
-        # block's selected rows to the round collector IN the same
-        # execution (capped at broadcast_limit — an over-limit frontier
-        # never lands on the driver); materialized once (frozen before
-        # this round's fetches mutate the seen set).
+        # Execution 1 — politeness: seen/robots filter feeding the fused
+        # dedup + politeness split (selected AND deferred rows together);
+        # a pass-through reporter ships each block's selected rows to the
+        # round collector IN the same execution (capped at
+        # broadcast_limit — an over-limit frontier never lands on the
+        # driver); materialized once (frozen before this round's fetches
+        # mutate the seen set). With a bucketed frontier
+        # (frontier_buckets > 1) this execution is SHUFFLE-FREE: one
+        # task per fb directory runs load → filter → exact pick; the
+        # legacy path is ONE host-keyed shuffle.
         collector = ray.remote(num_cpus=0)(_RoundCollector).remote(cfg.broadcast_limit)
-        unseen = frontier.map_batches(
-            make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
+        fb_dirs = (
+            sorted(glob.glob(os.path.join(_frontier_dir(cfg, r), "fb=*")))
+            if cfg.frontier_buckets > 1 and cfg.politeness_salt_k <= 1
+            else []
         )
-        split_fn = (
-            (lambda ds: politeness_split_salted(
-                ds, cfg.per_host_budget, cfg.max_pending_attempts, cfg.politeness_salt_k))
-            if cfg.politeness_salt_k > 1
-            else (lambda ds: politeness_split(
-                ds, cfg.per_host_budget, cfg.max_pending_attempts))
-        )
+        if fb_dirs:
+            core = ray.data.from_items(
+                [{"path": d} for d in fb_dirs], override_num_blocks=len(fb_dirs)
+            ).map_batches(
+                make_bucketed_politeness(
+                    self.actors, self.robots_ref,
+                    cfg.per_host_budget, cfg.max_pending_attempts,
+                ),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+        elif cfg.frontier_buckets > 1 and cfg.politeness_salt_k <= 1 and not os.path.isdir(
+            _frontier_dir(cfg, r)
+        ):
+            core = ray.data.from_arrow(_empty_politeness_table())
+        else:
+            frontier = self._read_frontier(r)
+            unseen = frontier.map_batches(
+                make_seen_filter(self.actors, self.robots_ref), batch_format="pyarrow"
+            )
+            split_fn = (
+                (lambda ds: politeness_split_salted(
+                    ds, cfg.per_host_budget, cfg.max_pending_attempts, cfg.politeness_salt_k))
+                if cfg.politeness_salt_k > 1
+                else (lambda ds: politeness_split(
+                    ds, cfg.per_host_budget, cfg.max_pending_attempts))
+            )
+            core = split_fn(unseen)
         split = (
-            split_fn(unseen)
+            core
             .map_batches(
                 make_selected_reporter(collector), batch_format="pyarrow", batch_size=None
             )
