@@ -183,8 +183,9 @@ def run_bench() -> dict:
         join_partitions=max(4, NUM_CPUS // 2),
         # hosts × budget = 480k possible selections/round: keep the
         # (faster) broadcast fetch path at bench scale; the join path is
-        # exercised by tests and kicks in past this bound
-        broadcast_limit=800_000,
+        # exercised by tests and kicks in past this bound (set
+        # BENCH_BROADCAST_LIMIT=0 to force the distributed join fetch)
+        broadcast_limit=int(os.environ.get("BENCH_BROADCAST_LIMIT", "800000")),
     )
     t0 = time.time()
     summary = run_crawl(pages_path, spec, cfg)

@@ -1162,7 +1162,6 @@ class CrawlRun:
 
         sel_tables, overflow = ray.get(collector.selected_result.remote())
         broadcast = not overflow
-        sel_urls: list = []
         selected_tbl = None
 
         if broadcast:
@@ -1176,22 +1175,31 @@ class CrawlRun:
                 )
             )
             sel_count = selected_tbl.num_rows
-            # only the url column lands driver-side as Python objects; the
-            # full selected table stays Arrow (plasma-shared broadcast —
-            # workers build their lookup once per process)
-            sel_urls = selected_tbl["url"].to_pylist()
+            # urls stay Arrow/numpy on the driver; the full selected
+            # table is a plasma-shared broadcast (workers build their
+            # lookup once per process)
+            sel_url_arr = selected_tbl["url"].combine_chunks()
+            sel_urls_np = sel_url_arr.to_numpy(zero_copy_only=False)
             sel_ref = ray.put(selected_tbl)
-            buckets = (
-                np.unique(
-                    url_hash64_batch(sel_urls) % np.uint64(cfg.n_page_buckets)
-                ).astype(np.int64).tolist()
-                if sel_urls
-                else []
-            )
+            # bucket pruning only prunes when few of the n_page_buckets
+            # are hit; past ~50 urls/bucket every bucket is hit w.h.p.,
+            # so skip the per-url blake2b loop and use the (always
+            # correct) superset — a fixed driver cost that grew with the
+            # selected count and bought nothing
+            if sel_count > 50 * cfg.n_page_buckets:
+                buckets = list(range(cfg.n_page_buckets))
+            elif sel_count:
+                buckets = (
+                    np.unique(
+                        url_hash64_batch(sel_urls_np) % np.uint64(cfg.n_page_buckets)
+                    ).astype(np.int64).tolist()
+                )
+            else:
+                buckets = []
             # kind pruning: a hub-only round (the seed round) or an
             # article-only round reads just its own corpus partition —
             # url-hash buckets can't prune a spread selection, kind can
-            kinds = np.unique(url_kind_batch(sel_urls)).tolist() if sel_urls else []
+            kinds = np.unique(url_kind_batch(sel_urls_np)).tolist() if sel_count else []
             self._tune_block_target(kinds, buckets)
             pages = ray.data.read_parquet(
                 _pruned_dirs(self.pages_path, kinds, buckets),
@@ -1281,13 +1289,18 @@ class CrawlRun:
         partials, matched_urls = ray.get(collector.results.remote())
         if broadcast:
             # selected urls with no page on "the web" → status-404 rows,
-            # handled entirely driver-side (they produce no links)
-            matched = set(matched_urls)
-            missing = [u for u in sel_urls if u not in matched]
-            if missing:
-                sub = selected_tbl.filter(
-                    pc.is_in(selected_tbl["url"], value_set=pa.array(missing, pa.string()))
+            # handled entirely driver-side (they produce no links).
+            # Arrow is_in instead of a Python set + listcomp — the old
+            # form was ~0.5 s of driver time per round at 500k selections
+            missing_mask = pc.invert(
+                pc.is_in(
+                    sel_url_arr,
+                    value_set=pa.array(matched_urls, pa.string()),
                 )
+            )
+            missing = sel_url_arr.filter(missing_mask).to_pylist()
+            if missing:
+                sub = selected_tbl.filter(missing_mask)
                 tbl = _missing_rows_table(sub, cfg.profile.name)
                 pq.write_table(
                     tbl.drop_columns(["links"]),
