@@ -103,6 +103,29 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url
 
+    def test_legacy_frontier_matches_simulator(self, corpus):
+        """frontier_buckets=0 (single-dir frontier write + shuffle-based
+        politeness — the pre-bucketed legacy path) must reproduce the
+        exact same order/seen/articles as the default bucketed path."""
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "legacyfrontier"), rounds=3)
+        cfg.frontier_buckets = 0
+        run_crawl(pages, SPEC, cfg)
+
+        sim = simulate_crawl(SPEC, cfg)
+        got = read_crawl_order(cfg)
+        got_t = sorted(
+            tuple(x)
+            for x in got[["host", "round", "order_in_host", "url", "state", "status"]]
+            .itertuples(index=False)
+        )
+        assert got_t == sorted(sim.order)
+        assert _read_seen(cfg.checkpoint_dir) == sim.seen
+        arts = _read_articles(cfg.checkpoint_dir)
+        assert set(arts) == set(sim.articles)
+        for url, text in arts.items():
+            assert text == sim.articles[url], url
+
     def test_salted_politeness_matches_simulator(self, corpus):
         """politeness_salt_k=4 (two-phase skew-safe selection): same
         order/seen/articles as the unsalted path and the simulator."""
