@@ -552,7 +552,11 @@ def _cached_sel_map(sel_ref):
         table = ray.get(sel_ref)
         cols = {name: table[name].to_pylist() for name in table.schema.names}
         idx = {url: i for i, url in enumerate(cols["url"])}
-        cached = (cols, idx)
+        # Arrow value_set for the vectorized is_in prefilter: pages ≫
+        # selected, so each batch drops non-selected rows in one kernel
+        # instead of a per-row dict probe over the whole scan.
+        url_set = pa.array(cols["url"], pa.string())
+        cached = (cols, idx, url_set)
         _BCAST_CACHE.clear()  # one live round at a time
         _BCAST_CACHE[key] = cached
     return cached
@@ -582,8 +586,12 @@ def make_fetch_extract(sel_ref, profile: SiteProfile, status_seed: int, now):
     def stage(batch: pa.Table) -> pa.Table:
         from .fetchsim import simulate_status as _status
 
-        sel_cols, sel_idx = _cached_sel_map(sel_ref)
+        sel_cols, sel_idx, url_set = _cached_sel_map(sel_ref)
         cp = _compiled(profile)
+        # Vectorized prefilter: only selected urls survive to the per-row
+        # extraction loop (extraction is inherently per-row Python; the
+        # membership probe is not — pages ≫ selected at scale).
+        batch = batch.filter(pc.is_in(batch["url"], value_set=url_set))
         urls = batch["url"].to_pylist()
         out = {name: [] for name, _ in ARTICLE_FIELDS}
         for i, url in enumerate(urls):

@@ -295,7 +295,21 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
                 keep_a.append(a)
                 keep_b.append(b)
                 jac.append(floor_round(j, 6))
-        verified = pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+        verified = (
+            pd.DataFrame(
+                {
+                    "a": pd.array(keep_a, dtype="int64"),
+                    "b": pd.array(keep_b, dtype="int64"),
+                    "jaccard": pd.array(jac, dtype="float64"),
+                }
+            )
+            .drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.Table.from_pandas(verified, preserve_index=False))
     else:
         j1 = cand.join(
             texts,
@@ -336,16 +350,30 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
                         keep_a.append(a)
                         keep_b.append(b)
                         jac.append(floor_round(j, 6))
-                return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": jac})
+                return pd.DataFrame(
+                    {
+                        "a": pd.array(keep_a, dtype="int64"),
+                        "b": pd.array(keep_b, dtype="int64"),
+                        "jaccard": pd.array(jac, dtype="float64"),
+                    }
+                )
 
-        verified = j2.map_batches(
+        verified_ds = j2.map_batches(
             VerifyJoined, batch_format="pandas", batch_size=8192, concurrency=concurrency
-        ).to_pandas()
-    return (
-        verified.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+        )
+        # Finalize distributed: the same pair may survive in multiple j2
+        # blocks (per-block dedup only bounds, not eliminates, repeats) —
+        # dedup with a (a,b) groupby (jaccard is identical per pair, Min is
+        # a no-op combiner) and a distributed sort. Nothing lands on the
+        # driver; an adversarial mirror corpus with O(n) pairs stays in
+        # the object store for the caller to write or stream.
+        from ray.data.aggregate import Min
+
+        return (
+            verified_ds.groupby(["a", "b"])
+            .aggregate(Min("jaccard", alias_name="jaccard"))
+            .sort(["a", "b"])
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -587,11 +615,7 @@ def embedding_near_pairs_lsh(
     cosine threshold over document vectors; this operator is that
     decision rule's pair-generation stage at corpus scale.
     """
-    import ray  # noqa: F401  (Dataset ops only; no driver collection)
-
     from .similarity import HyperplaneLSH, _normalized
-
-    dim = None  # inferred per batch; hyperplanes derive from (dim, seed)
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)

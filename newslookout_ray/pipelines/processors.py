@@ -336,7 +336,7 @@ def run_processor_chain(
     chain=None,
     concurrency: int = 2,
     marks_broadcast_limit: int = 5_000_000,
-    overlap_marks: bool = True,
+    overlap_marks: bool = False,
 ):
     """Apply the processor stages in ascending priority order (O1).
 
@@ -345,14 +345,20 @@ def run_processor_chain(
     the upstream read tasks and deadlock the streaming executor (observed
     live at 2×24 pools on 32 CPUs). Size ``concurrency`` ≤ cpus // pools.
 
-    ``overlap_marks``: when the near-dedup marks fit the broadcast limit,
-    compute them in a background thread so the marks execution and the
-    enriched main stream run CONCURRENTLY (the attach stage blocks its
-    first batches on a zero-CPU rendezvous actor). The two executions
-    were strictly sequential before — the marks branch (~70% of chain
-    wall) idled the CPUs the main stream could use and vice versa. Pass
-    ``marks_broadcast_limit=0`` to force the hash-join attach (the scale
-    path when even the duplicate-url subset is too big to broadcast).
+    ``overlap_marks`` (OPT-IN): when the near-dedup marks fit the
+    broadcast limit, compute them in a background thread so the marks
+    execution and the enriched main stream run CONCURRENTLY (the attach
+    stage blocks its first batches on a zero-CPU rendezvous actor) —
+    measured ~30% off chain wall on the bench corpus. Opt in ONLY when
+    the duplicate-url count is provably under ``marks_broadcast_limit``
+    (e.g. total article count is below it): the overlapped graph is
+    wired before the marks size is known, so an overflow RAISES
+    mid-pipeline instead of degrading. The default (False) path
+    auto-falls back from broadcast attach to a distributed hash-join
+    attach when the dup set overflows — safe on unknown/dup-heavy data.
+    Pass ``marks_broadcast_limit=0`` to force the hash-join attach (the
+    scale path when even the duplicate-url subset is too big to
+    broadcast).
     """
     if chain is None:
         chain = DEFAULT_CHAIN
@@ -506,28 +512,38 @@ def _attach_dedup_marks_overlapped(
             )
             probe = collect_table(dups.limit(marks_broadcast_limit + 1))
             if probe.num_rows > marks_broadcast_limit:
-                ray.get(box.put.remote(None))
+                ray.get(box.put.remote(("overflow", None)))
             else:
-                ray.get(box.put.remote(probe["url"].combine_chunks()))
+                ray.get(box.put.remote(("ok", probe["url"].combine_chunks())))
         except BaseException:
-            # surface the failure through the rendezvous so attach tasks
-            # fail fast instead of waiting forever
+            # surface the TRUE failure through the rendezvous so attach
+            # tasks raise the real cause instead of a misleading
+            # over-limit error (the traceback tail keeps the innermost
+            # cause, which Ray's wrapper reprs drop); guard the signal
+            # itself so a dead actor/shutdown during the except path
+            # doesn't leave attach tasks parked forever
+            import traceback
+
             try:
-                ray.get(box.put.remote(None))
-            finally:
-                raise
+                ray.get(box.put.remote(("error", traceback.format_exc()[-2000:])))
+            except BaseException:
+                pass
+            raise
 
     threading.Thread(target=compute_marks, daemon=True).start()
 
     def attach(batch: pa.Table) -> pa.Table:
-        dup = _cached_box_value(box)
-        if dup is None:
+        tag, val = _cached_box_value(box)
+        if tag == "overflow":
             raise RuntimeError(
                 "near-dedup duplicate set exceeded marks_broadcast_limit "
-                "(or the marks branch failed) in overlapped mode; re-run "
-                "with marks_broadcast_limit=0 to use the hash-join attach"
+                "in overlapped mode; re-run with overlap_marks=False "
+                "(auto hash-join fallback) or marks_broadcast_limit=0 "
+                "to force the hash-join attach"
             )
-        col = pc.is_in(batch["url"].combine_chunks(), value_set=dup)
+        if tag == "error":
+            raise RuntimeError(f"overlapped marks branch failed: {val}")
+        col = pc.is_in(batch["url"].combine_chunks(), value_set=val)
         return batch.append_column("is_duplicate", pc.fill_null(col, False))
 
     return out.map_batches(

@@ -479,14 +479,21 @@ def range_join_event_pairs(events, tolerance_sec: int = 300):
     def replicate(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
         bucket = ts_us // tol_us
-        types = batch["event_type"].to_pylist()
-        home_keys = [f"{t}#{b}" for t, b in zip(types, bucket)]
-        next_keys = [f"{t}#{b + 1}" for t, b in zip(types, bucket)]
+        etype = batch["event_type"].combine_chunks()
+        # key = event_type '#' bucket, composed fully vectorized (one
+        # binary_join_element_wise kernel per replica side — no per-row
+        # Python in the map side of the shuffle)
+        home_keys = pc.binary_join_element_wise(
+            etype, pc.cast(pa.array(bucket), pa.string()), "#"
+        )
+        next_keys = pc.binary_join_element_wise(
+            etype, pc.cast(pa.array(bucket + 1), pa.string()), "#"
+        )
         n = batch.num_rows
         ids = batch["event_id"]
         return pa.table(
             {
-                "k": pa.array(home_keys + next_keys, pa.string()),
+                "k": pa.concat_arrays([home_keys, next_keys]),
                 "event_id": pa.concat_arrays([ids.combine_chunks()] * 2),
                 "ts_us": pa.array(np.concatenate([ts_us, ts_us])),
                 "home": pa.array(

@@ -47,18 +47,33 @@ class TestNearDup:
     def test_minhash_lsh_finds_same_pairs(self, docs_ds):
         exact = dedup.ngram_jaccard_pairs(docs_ds, threshold=0.5)
         exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
-        lsh = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5)  # returns a DataFrame
+        lsh = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
         lsh_pairs = set(zip(lsh["a"], lsh["b"]))
         assert lsh_pairs == exact_pairs
 
-    def test_minhash_distributed_paths_equal(self, docs_ds):
+    def test_minhash_distributed_paths_equal(self, docs_ds, monkeypatch):
         """Force the scale paths (band self-join + text re-joins via
         band_limit=0 / pair_limit=0): identical result to the
-        driver-side small path."""
-        small = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5)
-        big = dedup.minhash_lsh_pairs(
+        driver-side small path, and NO unbounded driver collection —
+        every collect_table call on the forced path is a limit-probe
+        of at most limit+1 rows (here 1)."""
+        small = dedup.minhash_lsh_pairs(docs_ds, threshold=0.5).to_pandas()
+
+        collected_rows = []
+        real_collect = dedup.collect_table
+
+        def spying_collect(ds):
+            t = real_collect(ds)
+            collected_rows.append(t.num_rows)
+            return t
+
+        monkeypatch.setattr(dedup, "collect_table", spying_collect)
+        big_ds = dedup.minhash_lsh_pairs(
             docs_ds, threshold=0.5, band_limit=0, pair_limit=0
         )
+        # the two limit(N+1) probes are the only driver materializations
+        assert collected_rows == [1, 1]
+        big = big_ds.to_pandas()
         assert list(map(tuple, small.values)) == list(map(tuple, big.values))
 
     def test_minhash_signature_deterministic(self):

@@ -82,6 +82,65 @@ class TestChain:
             assert (a[col] == b[col]).all(), col
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestOverlappedMarks:
+    def test_overlap_equals_default(self, articles_ds):
+        """Opt-in overlapped marks attach must produce the identical
+        chain output to the default sequential broadcast attach."""
+        import ray.data
+
+        a = (
+            pr.run_processor_chain(articles_ds)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = (
+            pr.run_processor_chain(
+                ray.data.from_arrow(_articles_table()), overlap_marks=True
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = b[a.columns]
+        for col in ("url", "is_duplicate", "flag_event_strike", "sent_positive"):
+            assert (a[col] == b[col]).all(), col
+
+    def test_overlap_overflow_raises_with_guidance(self, ray_session):
+        """Overflowing the broadcast limit in overlapped mode raises
+        the documented error (the opt-in contract), not a hang."""
+        import ray.data
+
+        base = "the labour strike disrupted the plant and the director resigned after the fraud audit"
+        tbl = pa.table(
+            {
+                "url": [f"https://www.h{i}.com/news/x/story-{1000000+i}" for i in range(3)],
+                "module": ["profile_a", "profile_b", "profile_a"],
+                "pubdate": [datetime.date(2021, 1, 5)] * 3,
+                "text": [base, base + " the", base + " the the"],
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        with pytest.raises(Exception, match="marks_broadcast_limit"):
+            pr.run_processor_chain(
+                ds, overlap_marks=True, marks_broadcast_limit=1
+            ).to_pandas()
+
+    def test_overlap_error_surfaces_true_cause(self, articles_ds, monkeypatch):
+        """A genuine failure in the marks branch must surface as
+        'marks branch failed' (with the branch traceback attached),
+        NOT as the misleading over-limit error."""
+
+        def boom(batch):
+            raise ValueError("kaboom featurize")
+
+        monkeypatch.setattr(pr, "featurize_for_dedup", boom)
+        with pytest.raises(Exception, match="marks branch failed") as ei:
+            pr.run_processor_chain(articles_ds, overlap_marks=True).to_pandas()
+        assert "marks_broadcast_limit" not in str(ei.value)
+
+
 class TestNearDedupChunked:
     def test_chunked_equals_allpairs_marking(self):
         """The chunked-screen stage must mark exactly the same duplicates
