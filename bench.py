@@ -29,14 +29,16 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Sized so parallel compute dominates the ~3-5 s/round parallelism-
-# independent latency (shuffle launches + sink fixed costs): ~700k
-# fetches over 3 rounds ≈ 4,400 cpu-s of fetch+extract. Progression:
+# independent latency (shuffle launches + sink fixed costs). Progression:
 # 400k pages -> eff 0.48; 800k -> 0.73 (round 2 early); 1.6M + the
 # adaptive-block/politeness/robots fixes -> 0.70 with a 3x faster
 # 32-cpu leg (the fixes cut BOTH legs, which lowers the ratio while
-# raising throughput); 3.2M amortizes the residual per-round constant.
-CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "3200000"))
-CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "3600"))
+# raising throughput); 3.2M -> 0.85 crawl (round 2 final). Round 3's
+# probe-index + windowed-screen fixes cut both legs ~40% again, so the
+# workload doubles to 6.4M pages / 7200 hosts to stay in the amortized
+# regime the criterion models (10^8+ fetches/round on a real cluster).
+CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "6400000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "7200"))
 CRAWL_ROUNDS = 3
 CRAWL_BUDGET = 200
 CRAWL_LINKS_PER_HUB = 450
@@ -191,11 +193,11 @@ def run_bench() -> dict:
         extract_batch_size=512,
         seen_filter_concurrency=max(2, NUM_CPUS // 8),
         join_partitions=max(4, NUM_CPUS // 2),
-        # hosts × budget = 480k possible selections/round: keep the
+        # hosts × budget = 1.44M possible selections/round: keep the
         # (faster) broadcast fetch path at bench scale; the join path is
         # exercised by tests and kicks in past this bound (set
         # BENCH_BROADCAST_LIMIT=0 to force the distributed join fetch)
-        broadcast_limit=int(os.environ.get("BENCH_BROADCAST_LIMIT", "800000")),
+        broadcast_limit=int(os.environ.get("BENCH_BROADCAST_LIMIT", "1600000")),
     )
     t0 = time.time()
     summary = run_crawl(pages_path, spec, cfg)
@@ -266,9 +268,9 @@ def run_scaling(repeats: int = 2) -> dict:
     # (see the protocol-history table); smaller ones drown in the
     # ~10 s/round execution floor.
     scale_env = {
-        "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "3200000"),
-        "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "3600"),
-        "BENCH_BROADCAST_LIMIT": os.environ.get("BENCH_BROADCAST_LIMIT", "800000"),
+        "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "6400000"),
+        "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "7200"),
+        "BENCH_BROADCAST_LIMIT": os.environ.get("BENCH_BROADCAST_LIMIT", "1600000"),
     }
 
     def one_leg(ncpu: int) -> dict:

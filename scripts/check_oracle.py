@@ -8,11 +8,19 @@ normalization — a DuckDB HUGEINT->float64 vs Ray int64 mismatch, or a
 timestamp[s] vs [us] mismatch, must FAIL here exactly as it fails the
 driver's value hash).
 
-Usage: python scripts/check_oracle.py [--sf /root/testdata/sf0.01] [query ...]
+Rows-only queries (no oracle_sql entry) are additionally locked against
+golden content hashes pinned at sf0.01 in scripts/golden_sf001.json:
+the driver's check is rows-only for them, so the pin is what turns
+"returns rows" into "returns the SAME rows as when the operator was
+verified". Regenerate pins with --pin after an intentional change.
+
+Usage: python scripts/check_oracle.py [--sf DIR] [--pin] [query ...]
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import sys
 import time
 from pathlib import Path
@@ -20,6 +28,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+GOLDEN_PATH = Path(__file__).resolve().parent / "golden_sf001.json"
+GOLDEN_SF = "/root/testdata/sf0.01"
+
+
+def content_hash(df) -> str:
+    """Deterministic content hash of a canonicalized frame: csv bytes
+    with fixed float formatting (canon() already sorted rows/columns)."""
+    payload = df.to_csv(index=False, float_format="%.9g").encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
 
 
 def to_pandas(result):
@@ -56,7 +74,8 @@ def main():
     import ray
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = "/root/testdata/sf0.01"
+    sf = GOLDEN_SF
+    pin = "--pin" in sys.argv
     for i, a in enumerate(sys.argv[1:]):
         if a == "--sf":
             sf = sys.argv[1:][i + 1]
@@ -77,6 +96,8 @@ def main():
     queries = api.queries()
     oracles = api.oracle_sql()
     names = args or list(queries)
+    golden = json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists() else {}
+    new_pins = {}
     failures = []
     for name in names:
         t0 = time.time()
@@ -88,7 +109,27 @@ def main():
             continue
         wall = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(got)} rows, {wall:.1f}s)")
+            # golden-pin regression lock for rows-only queries (at the
+            # pinned scale factor only — hashes are sf-specific)
+            if sf == GOLDEN_SF:
+                h = content_hash(got)
+                if pin:
+                    new_pins[name] = h
+                    print(f"pin  {name}: {h} ({len(got)} rows, {wall:.1f}s)")
+                elif name in golden:
+                    if h == golden[name]:
+                        print(f"ok   {name}: rows-only, golden hash {h} matches "
+                              f"({len(got)} rows, {wall:.1f}s)")
+                    else:
+                        print(f"FAIL {name}: rows-only golden hash drifted "
+                              f"(got {h}, pinned {golden[name]}) — intentional? "
+                              f"re-pin with --pin")
+                        failures.append(name)
+                else:
+                    print(f"ok   {name}: rows-only, UNPINNED ({len(got)} rows, "
+                          f"{wall:.1f}s) — run --pin to lock")
+            else:
+                print(f"ok   {name}: rows-only ({len(got)} rows, {wall:.1f}s)")
             continue
         want = canon(con.sql(oracles[name]).df())
         status = []
@@ -118,6 +159,10 @@ def main():
         else:
             print(f"ok   {name}: {len(got)} rows match exactly ({wall:.1f}s)")
     print()
+    if pin and new_pins:
+        merged = {**golden, **new_pins}
+        GOLDEN_PATH.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
+        print(f"pinned {len(new_pins)} golden hashes -> {GOLDEN_PATH}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

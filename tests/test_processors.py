@@ -206,6 +206,87 @@ class TestNearDedupChunked:
         assert got.shape == want.shape and (got == want).all()
 
 
+class TestWindowedScreen:
+    @staticmethod
+    def _random_group(n, n_modules=4, seed=7, dim=32):
+        rng = np.random.RandomState(seed)
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        # inject near-dup twins (identical vectors, close sizes)
+        for i in range(0, n, 37):
+            j = (i * 13 + 5) % n
+            if i != j:
+                vecs[j] = vecs[i]
+        sizes = np.exp(rng.uniform(np.log(100), np.log(10_000), size=n)).astype(np.int64)
+        # twins get sizes within 15%
+        for i in range(0, n, 37):
+            j = (i * 13 + 5) % n
+            if i != j:
+                sizes[j] = int(sizes[i] * 1.05)
+        modules = np.array([f"m{i % n_modules}" for i in range(n)], dtype=object)
+        return vecs, sizes, modules
+
+    def test_windowed_equals_chunked(self):
+        vecs, sizes, modules = self._random_group(4000)
+        a = pr._windowed_candidates(vecs, sizes, modules, threshold=0.999)
+        b = pr._chunked_candidates(vecs, sizes, modules, threshold=0.999)
+        assert a.shape == b.shape and (a == b).all()
+        assert len(a) > 50  # the injected twins were found
+
+    def test_single_module_short_circuit(self):
+        """Cross-module is part of the rule: a single-module group has
+        provably no candidates and must cost ~zero (no GEMM)."""
+        vecs, sizes, _ = self._random_group(2000)
+        modules = np.array(["only_mod"] * 2000, dtype=object)
+        import time
+
+        t0 = time.time()
+        out = pr._windowed_candidates(vecs, sizes, modules)
+        assert len(out) == 0
+        assert time.time() - t0 < 0.1
+
+    def test_hot_date_group_bounded(self):
+        """A deliberately hot publish date (50k rows in ONE group, the
+        100-TB skew scenario) must complete through the real group stage
+        in a bounded time/memory envelope, and mark the injected dups."""
+        import time
+
+        n, dim = 50_000, pr._DEDUP_DIM
+        rng = np.random.RandomState(11)
+        vecs = rng.normal(size=(n, dim)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        sizes = np.exp(rng.uniform(np.log(100), np.log(10_000), size=n)).astype(np.int64)
+        modules = np.array([f"mod_{i % 6}" for i in range(n)], dtype=object)
+        # 100 engineered twin pairs: same vector, 5% size gap, cross-module
+        twin_losers = []
+        for k in range(100):
+            i, j = 2 * k, 2 * k + 1
+            vecs[j] = vecs[i]
+            sizes[j] = int(sizes[i] * 1.05) + 1
+            modules[j] = "mod_twin"
+            twin_losers.append(i)  # smaller loses
+        urls = np.array([f"https://h{i % 97}.com/a/{i:07d}" for i in range(n)], dtype=object)
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), dim
+        )
+        tbl = pa.table(
+            {
+                "url": pa.array(urls.tolist()),
+                "module": pa.array(modules.tolist()),
+                "pubdate": pa.array(["2021-01-05"] * n),
+                "size": pa.array(sizes.tolist(), pa.int64()),
+                "vec": vec_col,
+            }
+        )
+        t0 = time.time()
+        out = pr.near_dedup_marks_group(tbl)
+        wall = time.time() - t0
+        assert wall < 120  # bounded envelope (full GEMM here is ~10 min+)
+        dup = dict(zip(out["url"].to_pylist(), out["is_duplicate"].to_pylist()))
+        hits = sum(dup[urls[i]] for i in twin_losers)
+        assert hits >= 95  # nearly all engineered smaller twins marked
+
+
 class TestSentimentUnit:
     def test_batch_shapes(self):
         stage = pr.SentimentStage()
