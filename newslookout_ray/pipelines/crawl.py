@@ -46,6 +46,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -351,24 +352,65 @@ def _empty_politeness_table() -> pa.Table:
     return pa.table(cols)
 
 
-def make_bucketed_politeness(actors, robots_ref, budget: int, max_attempts: int):
+_ROBOTS_BUCKET_CACHE: dict = {}
+
+
+def _robots_bucket_map(robots_dir: str, fb: int) -> dict:
+    """host → disallow-prefixes for ONE robots bucket, loaded from the
+    hive-bucketed robots side table and cached per worker process. Each
+    politeness task touches only its own fb slice — driver memory and
+    broadcast volume stay O(hosts / frontier_buckets) per task instead
+    of O(hosts) globally."""
+    key = (robots_dir, fb)
+    cached = _ROBOTS_BUCKET_CACHE.get(key)
+    if cached is None:
+        import pyarrow.dataset as pads
+
+        path = os.path.join(robots_dir, f"fb={fb}")
+        if os.path.isdir(path):
+            t = pads.dataset(path).to_table(columns=["host", "prefixes"])
+            cached = dict(zip(t["host"].to_pylist(), t["prefixes"].to_pylist()))
+        else:
+            cached = {}
+        if len(_ROBOTS_BUCKET_CACHE) > 64:
+            _ROBOTS_BUCKET_CACHE.clear()
+        _ROBOTS_BUCKET_CACHE[key] = cached
+    return cached
+
+
+def make_bucketed_politeness(
+    actors, robots_ref, budget: int, max_attempts: int, robots_dir: str = None
+):
     """Shuffle-free politeness over a bucketed frontier: one task per
     fb directory — load the whole partition, seen/robots-filter it, run
     the exact per-host pick. Correct because the write partitioned by
     hash(host): a batch holds WHOLE fb partitions, so every row of every
     present host is in the batch (grouping several whole partitions into
-    one batch stays exact — hosts never span fb values)."""
-    seen_fn = make_seen_filter(actors, robots_ref)
+    one batch stays exact — hosts never span fb values).
+
+    Robots state arrives either as a broadcast dict ref (legacy /
+    small host sets) or, preferably, as ``robots_dir`` — a parquet side
+    table hive-bucketed by the SAME fb = hash(host) % frontier_buckets
+    as the frontier, so each task loads only its own bucket's slice
+    (no O(hosts) driver dict, no fat broadcast at 10^7-host scale)."""
+    seen_fn = make_seen_filter(actors, None if robots_dir else robots_ref)
 
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
 
         # one pads.dataset per directory (pyarrow rejects dir lists);
         # batches normally hold one fb dir each (batch_size=1)
+        paths = batch["path"].to_pylist()
         parts = [
             pads.dataset(p).to_table(columns=list(FRONTIER_SCHEMA.names))
-            for p in batch["path"].to_pylist()
+            for p in paths
         ]
+        if robots_dir is not None and parts:
+            filtered = []
+            for p, t in zip(paths, parts):
+                fb = int(os.path.basename(os.path.normpath(p)).split("=", 1)[1])
+                filtered.append(_apply_robots(t, _robots_bucket_map(robots_dir, fb)))
+            parts = filtered
         tbl = pa.concat_tables(parts) if parts else _empty_politeness_table()
         if tbl.num_rows:
             tbl = seen_fn(tbl)
@@ -494,6 +536,26 @@ def _defer_non_candidates(t: "pa.Table", max_attempts: int) -> "pa.Table":
     return t.append_column("selected", pa.array(np.zeros(t.num_rows, dtype=bool)))
 
 
+def _apply_robots(batch: pa.Table, robots: dict) -> pa.Table:
+    """Drop robots-disallowed rows. Path extraction via ONE Arrow regex
+    pass (C++), then a thin dict.get + startswith loop — urlsplit per
+    row was ~4x this."""
+    if not robots or batch.num_rows == 0:
+        return batch
+    paths = pc.replace_substring_regex(
+        batch["url"], pattern=r"^[a-z][a-z0-9+.\-]*://[^/]*", replacement=""
+    ).to_pylist()
+    hosts = batch["host"].to_pylist()
+    get = robots.get
+    allowed = pa.array(
+        [
+            not ps or not any(map((pt or "/").startswith, ps))
+            for pt, ps in zip(paths, (get(h) for h in hosts))
+        ]
+    )
+    return batch.filter(allowed)
+
+
 def make_seen_filter(actors, robots_ref):
     """Stateless-task form of SeenFilter: client construction is trivial
     (actor handles), so plain tasks reuse warm worker processes with no
@@ -504,23 +566,9 @@ def make_seen_filter(actors, robots_ref):
         if batch.num_rows == 0:
             return batch
         robots = ray.get(robots_ref) if robots_ref is not None else {}
-        if robots:
-            # path extraction via ONE Arrow regex pass (C++), then a thin
-            # dict.get + startswith loop — urlsplit per row was ~4x this
-            paths = pc.replace_substring_regex(
-                batch["url"], pattern=r"^[a-z][a-z0-9+.\-]*://[^/]*", replacement=""
-            ).to_pylist()
-            hosts = batch["host"].to_pylist()
-            get = robots.get
-            allowed = pa.array(
-                [
-                    not ps or not any(map((pt or "/").startswith, ps))
-                    for pt, ps in zip(paths, (get(h) for h in hosts))
-                ]
-            )
-            batch = batch.filter(allowed)
-            if batch.num_rows == 0:
-                return batch
+        batch = _apply_robots(batch, robots)
+        if batch.num_rows == 0:
+            return batch
         client = SeenSetClient(actors)
         hashes = url_hash64_batch(batch["url"].to_pylist())
         seen = client.contains_many(hashes)
@@ -716,17 +764,23 @@ class _RoundCollector:
         self.sel_rows_total = 0
         self.overflow = False
 
-    def add(self, fp: str, metrics_df, urls) -> bool:
+    def add(self, fp: str, metrics_df, url_ref) -> bool:
+        # url_ref is a 1-element list holding an ObjectRef of the
+        # block's matched-url Arrow array: the list wrapper stops Ray
+        # from auto-dereferencing, so the (possibly large) array is
+        # never copied into this actor — the driver reads it from
+        # plasma directly. Large payloads through a single actor were
+        # a parallelism-independent serial cost per round.
         self.metrics[fp] = metrics_df
-        self.matched[fp] = urls
+        self.matched[fp] = url_ref
         return True
 
-    def add_selected(self, fp: str, table) -> bool:
+    def add_selected(self, fp: str, num_rows: int, table_ref) -> bool:
         if self.overflow:
             return True
         if fp not in self.selected:
-            self.sel_rows_total += table.num_rows
-        self.selected[fp] = table
+            self.sel_rows_total += num_rows
+        self.selected[fp] = table_ref  # [ObjectRef], never deserialized here
         if self.sel_rows_total > self.sel_cap:
             self.selected = {}
             self.overflow = True
@@ -736,8 +790,7 @@ class _RoundCollector:
         return (None, True) if self.overflow else (list(self.selected.values()), False)
 
     def results(self):
-        urls = [u for v in self.matched.values() for u in v]
-        return list(self.metrics.values()), urls
+        return list(self.metrics.values()), list(self.matched.values())
 
 
 def make_selected_reporter(collector):
@@ -753,7 +806,12 @@ def make_selected_reporter(collector):
         sel = batch.filter(batch["selected"])
         if sel.num_rows:
             fp = hashlib.sha1("\n".join(sel["url"].to_pylist()).encode("utf-8")).hexdigest()[:16]
-            ray.get(collector.add_selected.remote(fp, sel.drop_columns(["selected"])))
+            # ship a plasma REF (acked, retry-safe): the selected rows
+            # are written to the object store once here and read
+            # zero-copy by the driver — not serialized through the
+            # collector actor
+            ref = ray.put(sel.drop_columns(["selected"]))
+            ray.get(collector.add_selected.remote(fp, sel.num_rows, [ref]))
         return batch
 
     return stage
@@ -838,8 +896,12 @@ def make_sink_stage(
             )
 
         # 3. metrics + matched urls (block until the actor records them —
-        #    the driver reads the collector right after the execution)
-        ray.get(collector.add.remote(fp, _partial_metrics_df(batch, parts), urls))
+        #    the driver reads the collector right after the execution;
+        #    urls travel as a plasma ref, not through the actor)
+        url_ref = ray.put(batch["url"].combine_chunks())
+        ray.get(
+            collector.add.remote(fp, _partial_metrics_df(batch, parts), [url_ref])
+        )
 
         # 4. link explode + transient retries → next-round frontier rows
         #    (Arrow list kernels end to end — a per-link Python loop here
@@ -953,6 +1015,7 @@ class CrawlRun:
         self.client = SeenSetClient(self.actors)
         self.metrics = []
         self.robots_ref = None  # set in run(): broadcast {host: prefixes}
+        self.robots_dir = None  # set in run(): bucketed robots side table
         self._prev_block_target = None  # DataContext restore slot
 
     def _tune_block_target(self, kinds, buckets) -> None:
@@ -986,37 +1049,66 @@ class CrawlRun:
             DataContext.get_current().target_max_block_size = self._prev_block_target
 
     def _load_robots(self):
-        """Fetch every seed host's robots.txt from the corpus (out-of-band
-        prologue — the reference's robotparser fetch is likewise outside
-        the politeness budget) and broadcast the disallow map."""
+        """Fetch robots.txt bodies from the corpus (out-of-band prologue
+        — the reference's robotparser fetch is likewise outside the
+        politeness budget).
+
+        Default (bucketed frontier): parse + write a parquet side table
+        ``{checkpoint}/robots/fb=N`` hive-bucketed by the SAME
+        fb = hash(host) % frontier_buckets as the frontier, fully
+        distributed — the driver never holds a host→prefixes dict, so
+        robots state scales to 10^7 hosts (each bucketed-politeness
+        task reads only its own slice). Legacy shuffle/salted paths
+        keep the broadcast dict (their tasks aren't bucket-aligned)."""
         import ray
         import ray.data
 
-        from ..functions.robotskit import parse_robots, robots_url
-        from ..sources.pages import host_name
+        from ..functions.robotskit import parse_robots
 
-        wanted = {
-            robots_url(host_name(self.spec, i)): host_name(self.spec, i)
-            for i in range(self.spec.n_hosts)
-        }
-        buckets = sorted({url_hash64(u) % self.cfg.n_page_buckets for u in wanted})
+        cfg = self.cfg
         # kind pruning: robots bodies live in their own (tiny) partition —
         # without the k filter this prologue scans the whole corpus
+        all_buckets = list(range(cfg.n_page_buckets))
         pages = ray.data.read_parquet(
-            _pruned_dirs(self.pages_path, [KIND_ROBOTS], buckets),
+            _pruned_dirs(self.pages_path, [KIND_ROBOTS], all_buckets),
             columns=["url", "html"],
-            filter=pc.field("b").isin(buckets) & (pc.field("k") == KIND_ROBOTS),
+            filter=(pc.field("k") == KIND_ROBOTS),
         )
-        wanted_ref = ray.put(set(wanted))
+        bucketed = cfg.frontier_buckets > 1 and cfg.politeness_salt_k <= 1
+        if bucketed:
+            fb_n = cfg.frontier_buckets
 
-        def pick(batch: pa.Table) -> pa.Table:
-            w = ray.get(wanted_ref)
-            mask = pa.array([u in w for u in batch["url"].to_pylist()])
-            return batch.filter(mask)
+            def to_rows(batch: pa.Table) -> pa.Table:
+                hosts = [get_host(u) for u in batch["url"].to_pylist()]
+                prefixes = [
+                    parse_robots(
+                        h.decode("utf-8", "replace")
+                        if isinstance(h, bytes)
+                        else (h or "")
+                    )
+                    for h in batch["html"].to_pylist()
+                ]
+                fb = _frontier_fb(np.asarray(hosts, dtype=object), fb_n)
+                return pa.table(
+                    {
+                        "host": pa.array(hosts, pa.string()),
+                        "prefixes": pa.array(prefixes, pa.list_(pa.string())),
+                        "fb": pa.array(fb),
+                    }
+                )
+
+            robots_dir = os.path.join(cfg.checkpoint_dir, "robots")
+            shutil.rmtree(robots_dir, ignore_errors=True)
+            pages.map_batches(to_rows, batch_format="pyarrow").write_parquet(
+                robots_dir, partition_cols=["fb"]
+            )
+            self.robots_dir = robots_dir
+            self.robots_ref = None
+            return None
 
         robots = {}
-        for row in collect_rows(pages.map_batches(pick, batch_format="pyarrow")):
-            host = wanted[row["url"]]
+        for row in collect_rows(pages):
+            host = get_host(row["url"])
             body = row["html"].decode("utf-8") if row["html"] is not None else ""
             robots[host] = parse_robots(body)
         self.robots_ref = ray.put(robots)
@@ -1134,6 +1226,7 @@ class CrawlRun:
                 make_bucketed_politeness(
                     self.actors, self.robots_ref,
                     cfg.per_host_budget, cfg.max_pending_attempts,
+                    robots_dir=self.robots_dir,
                 ),
                 batch_format="pyarrow",
                 batch_size=1,
@@ -1171,11 +1264,13 @@ class CrawlRun:
             batch_format="pyarrow",
         )
 
-        sel_tables, overflow = ray.get(collector.selected_result.remote())
+        sel_ref_lists, overflow = ray.get(collector.selected_result.remote())
         broadcast = not overflow
         selected_tbl = None
 
         if broadcast:
+            # zero-copy plasma reads of the politeness tasks' refs
+            sel_tables = ray.get([rl[0] for rl in sel_ref_lists]) if sel_ref_lists else []
             selected_tbl = (
                 pa.concat_tables(sel_tables)
                 if sel_tables
@@ -1297,18 +1392,26 @@ class CrawlRun:
             self._restore_block_target()
         _mark("fetch_extract_sink")
 
-        partials, matched_urls = ray.get(collector.results.remote())
+        partials, matched_refs = ray.get(collector.results.remote())
         if broadcast:
             # selected urls with no page on "the web" → status-404 rows,
             # handled entirely driver-side (they produce no links).
-            # Arrow is_in instead of a Python set + listcomp — the old
-            # form was ~0.5 s of driver time per round at 500k selections
-            missing_mask = pc.invert(
-                pc.is_in(
-                    sel_url_arr,
-                    value_set=pa.array(matched_urls, pa.string()),
-                )
+            # Matched urls arrive as plasma refs of Arrow arrays (zero
+            # copies through the collector actor); Arrow is_in instead
+            # of a Python set + listcomp — the old form was ~0.5 s of
+            # driver time per round at 500k selections
+            matched_arrays = (
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in ray.get([rl[0] for rl in matched_refs])]
+                if matched_refs
+                else []
             )
+            matched_set = (
+                pa.concat_arrays(matched_arrays)
+                if matched_arrays
+                else pa.array([], pa.string())
+            )
+            missing_mask = pc.invert(pc.is_in(sel_url_arr, value_set=matched_set))
             missing = sel_url_arr.filter(missing_mask).to_pylist()
             if missing:
                 sub = selected_tbl.filter(missing_mask)
