@@ -224,9 +224,18 @@ def run_bench() -> dict:
     # and the final groupby keep CPUs (see run_processor_chain docstring)
     # overlap is safe to opt into here: the bench corpus's article count
     # (≤ a few M) is provably under marks_broadcast_limit (5M), so the
-    # duplicate-url set can never overflow the broadcast
+    # duplicate-url set can never overflow the broadcast.
+    # BENCH_ACTOR_STAGE=1 swaps the sentiment slot for the heavy-state
+    # actor-pool variant (~100 MB built once per actor) — same outputs,
+    # proves the autoscaling-pool path at bench scale.
+    chain = None
+    if os.environ.get("BENCH_ACTOR_STAGE"):
+        from newslookout_ray.pipelines.processors import ACTOR_CHAIN
+
+        chain = ACTOR_CHAIN
     processed_rows = run_processor_chain(
-        articles, concurrency=max(2, NUM_CPUS // 3), overlap_marks=True
+        articles, chain=chain, concurrency=max(2, NUM_CPUS // 3),
+        overlap_marks=True
     ).count()
     timings["processor_chain"] = round(time.time() - t0, 3)
 

@@ -1504,6 +1504,35 @@ def read_articles(checkpoint_dir: str) -> pa.Table:
     return dataset.to_table(filter=pads.field("state") == STATE_ARTICLE)
 
 
+def write_articles_csv(articles, out_dir: str):
+    """S12 (mod_json_to_csv.py:113-130 — a TODO stub in the reference;
+    its docstring states the intent: per-date CSV rows of every event
+    attribute WITHOUT the text body, deduped): distributed CSV export
+    of an articles Dataset — drop the body, join list columns to
+    pipe-separated strings (CSV has no list type), first-occurrence
+    dedupe per url within each block, write one CSV shard per block
+    under ``out_dir``. No locks needed — shards are independent files,
+    unlike the reference's single locked CSV."""
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        drop = [c for c in ("text", "html", "links") if c in batch.schema.names]
+        batch = batch.drop_columns(drop)
+        cols = {}
+        for name in batch.schema.names:
+            col = batch[name]
+            if pa.types.is_list(col.type):
+                cols[name] = pa.array(
+                    ["|".join(v or []) for v in col.to_pylist()], pa.string()
+                )
+            else:
+                cols[name] = col
+        df = pa.table(cols).to_pandas().drop_duplicates("url")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    articles.map_batches(flatten, batch_format="pyarrow").write_csv(out_dir)
+    return out_dir
+
+
 def read_crawl_order(cfg: CrawlConfig) -> pd.DataFrame:
     """The realized fetch order: (host, round, order_in_host, url, state,
     status) from the per-round fetched tables — compared against the

@@ -344,6 +344,55 @@ def sentiment_fn(batch: pa.Table) -> pa.Table:
     return _cached_stage(SentimentStage)(batch)
 
 
+class HeavySentimentStage(SentimentStage):
+    """M1's heavy-state actor-pool variant: identical OUTPUTS to
+    SentimentStage, but __init__ builds ~100 MB of real, consulted state
+    — a 2M-entry sentence-hash → logits memo table — standing in for a
+    BERT checkpoint load. Run it with ``kind='actor'`` so the pool pays
+    the state build ONCE per actor (a per-task build would dominate the
+    stage); bench --actor-stage drives it over the full crawled corpus
+    to prove the autoscaling-pool sizing in run_processor_chain's
+    docstring holds at bench scale (no executor stall, chain completes).
+    """
+
+    MEMO_BUCKETS = 2_000_000
+
+    def __init__(self, seed: int = 7):
+        super().__init__(seed)
+        # heavy state, genuinely consulted per sentence below: logits
+        # for every hash bucket, precomputed (8 B × 3 × 2M ≈ 48 MB plus
+        # the bucket keys) — the actor-pool contract under test is
+        # "expensive __init__, cheap __call__"
+        h = np.arange(self.MEMO_BUCKETS, dtype=np.uint32) ^ np.uint32(seed)
+        memo = np.empty((self.MEMO_BUCKETS, 3), dtype=np.float64)
+        memo[:, 0] = ((h >> 0) & 0xFF) / 255.0
+        memo[:, 1] = ((h >> 8) & 0xFF) / 255.0
+        memo[:, 2] = ((h >> 16) & 0xFF) / 255.0
+        self.memo = memo + self.proj[None, :]
+
+    def _sentence_logits(self, sentences) -> np.ndarray:
+        # crc32(s) ^ seed == bucket key when crc32(s) < MEMO_BUCKETS:
+        # consult the memo (vectorized gather); else compute inline.
+        crcs = np.fromiter(
+            (zlib.crc32(s.encode("utf-8")) for s in sentences),
+            dtype=np.uint32,
+            count=len(sentences),
+        )
+        out = np.empty((len(sentences), 3), dtype=np.float64)
+        hit = crcs < self.MEMO_BUCKETS
+        if hit.any():
+            out[hit] = self.memo[crcs[hit]]
+        miss = ~hit
+        if miss.any():
+            h = crcs[miss] ^ np.uint32(self.seed)
+            sub = np.empty((int(miss.sum()), 3), dtype=np.float64)
+            sub[:, 0] = ((h >> 0) & 0xFF) / 255.0
+            sub[:, 1] = ((h >> 8) & 0xFF) / 255.0
+            sub[:, 2] = ((h >> 16) & 0xFF) / 255.0
+            out[miss] = sub + self.proj[None, :]
+        return out
+
+
 _DEDUP_DIM = 128
 
 
@@ -393,6 +442,17 @@ DEFAULT_CHAIN = [
     (1, "dataprep", dataprep_stage, "fn"),
     (2, "keyword_flags", keyword_flags_fn, "fn"),
     (3, "sentiment", sentiment_fn, "fn"),
+    (4, "near_dedup", near_dedup_marks_group, "dedup_marks"),
+]
+
+#: DEFAULT_CHAIN with the sentiment slot as a heavy-state ACTOR POOL
+#: (HeavySentimentStage: ~100 MB built once per actor) — output
+#: identical to DEFAULT_CHAIN; used to exercise the autoscaling-pool
+#: path at bench scale (bench.py --actor-stage / BENCH_ACTOR_STAGE=1).
+ACTOR_CHAIN = [
+    (1, "dataprep", dataprep_stage, "fn"),
+    (2, "keyword_flags", keyword_flags_fn, "fn"),
+    (3, "sentiment", HeavySentimentStage, "actor"),
     (4, "near_dedup", near_dedup_marks_group, "dedup_marks"),
 ]
 

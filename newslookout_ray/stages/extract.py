@@ -38,6 +38,7 @@ from datetime import datetime
 import pyarrow as pa
 
 from ..functions import htmlkit, textkit
+from ..functions import keywords as keywords_mod
 from ..functions.datekit import DateExtractError, extract_published_date
 from ..functions.textkit import REPEAT_CHAR_LIST, clean_text, crc32_hex, filter_repeated_chars
 from ..functions.urlkit import ScrapeError, extract_unique_id, remove_invalid_articles, retain_valid_articles
@@ -117,13 +118,20 @@ def process_fetched_page(cp: CompiledProfile, url: str, html: bytes, now=REFEREN
     if text is None:
         text = ""
     if len(text) > profile.min_article_len:
+        title = htmlkit.extract_title(cleaned_html)
         return {"state": STATE_ARTICLE, "links": links, "is_hub": False,
-                "title": htmlkit.extract_title(cleaned_html), "text": text,
+                "title": title, "text": text,
                 "unique_id": unique_id, "pubdate": pubdate.date(),
                 "raw_size": len(html_str), "text_size": len(text),
-                # T12/T10/T11 enrichment columns (NewsEvent keywords merge
-                # news_event.py:378-385; plugin author/industry packs)
-                "keywords": htmlkit.extract_meta_keywords(html_str),
+                # T12/T10/T11 enrichment columns: allKeywords =
+                # article.keywords (deterministic tf ranking, the
+                # newspaper .nlp() analogue) + meta keywords +
+                # news_keywords, first-occurrence deduped — the full
+                # news_event.py:378-385 merge
+                "keywords": keywords_mod.merge_keywords(
+                    keywords_mod.article_keywords(title, text),
+                    htmlkit.extract_meta_keywords(html_str),
+                ),
                 "authors": cp.extract_authors(html_str),
                 "industries": cp.extract_industries(url, html_str)}
     return {"state": STATE_EMPTY, "links": [], "is_hub": False,

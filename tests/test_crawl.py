@@ -265,3 +265,35 @@ class TestResume:
         # and to the simulator at 4 rounds
         sim = simulate_crawl(SPEC, fresh)
         assert _read_seen(fresh.checkpoint_dir) == sim.seen
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCsvSink:
+    def test_write_articles_csv(self, corpus, tmp_path):
+        """S12: distributed CSV export — no text body, list columns
+        pipe-joined, url-deduped, readable back with the same rows."""
+        import ray.data
+
+        from newslookout_ray.pipelines.crawl import (
+            read_articles,
+            run_crawl,
+            write_articles_csv,
+        )
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "csv_run"))
+        run_crawl(pages, SPEC, cfg)
+        arts = read_articles(cfg.checkpoint_dir)
+        assert arts.num_rows > 0
+
+        out = str(tmp_path / "csv_out")
+        write_articles_csv(ray.data.from_arrow(arts), out)
+
+        back = pd.concat(
+            [pd.read_csv(f) for f in glob.glob(os.path.join(out, "*.csv"))],
+            ignore_index=True,
+        )
+        assert len(back) == len(set(back["url"])) == arts.num_rows
+        assert "text" not in back.columns and "links" not in back.columns
+        # list columns flattened to strings
+        assert back["keywords"].dtype == object

@@ -287,6 +287,38 @@ class TestWindowedScreen:
         assert hits >= 95  # nearly all engineered smaller twins marked
 
 
+class TestHeavySentiment:
+    def test_outputs_identical_to_stub(self):
+        """The heavy-state memo variant must be output-identical to
+        SentimentStage (the memo is the same function, precomputed)."""
+        batch = pa.table({"text": [
+            "One. Two! Three?", "", "Just one", "The strike disrupted output."
+        ]})
+        a = pr.SentimentStage()(batch)
+        b = pr.HeavySentimentStage()(batch)
+        for c in ("sent_positive", "sent_neutral", "sent_negative"):
+            assert a[c].to_pylist() == b[c].to_pylist(), c
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_actor_chain_equals_default_chain(self, articles_ds):
+        """kind='actor' pool path end to end: ACTOR_CHAIN output equals
+        DEFAULT_CHAIN output (heavy state built once per actor)."""
+        import ray.data
+
+        a = pr.run_processor_chain(articles_ds).to_pandas().sort_values("url").reset_index(drop=True)
+        b = (
+            pr.run_processor_chain(
+                ray.data.from_arrow(_articles_table()), chain=pr.ACTOR_CHAIN
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = b[a.columns]
+        for col in ("url", "is_duplicate", "sent_positive", "sent_negative"):
+            assert (a[col] == b[col]).all(), col
+
+
 class TestSentimentUnit:
     def test_batch_shapes(self):
         stage = pr.SentimentStage()

@@ -208,6 +208,29 @@ def test_keywords_extracted_from_meta():
     assert len(rec["keywords"]) == len(set(rec["keywords"]))  # deduped
 
 
+#: T12 golden keyword lists (pinned): allKeywords = tf-ranked article
+#: keywords (title first, then text — the deterministic newspaper
+#: .nlp() analogue, functions/keywords.py) + meta keywords +
+#: news_keywords, first-occurrence deduped (news_event.py:378-385).
+GOLDEN_KEYWORDS = {
+    "mod_en_in_ecotimes_73837853.html.bz2": ['swaminathan', 'aiyar', 'tries', 'times', 'reasonable', 'middle', 'make', 'looks', 'life', 'economic', 'tax', 'budget', 'n', 'would', 'news', 'like', 'good', 'fiscal', 'deficit', 'come', 'Swaminathan Aiyar', 'budget reactions', 'Fiscal Deficit', 'markets', 'Budget 2020', 'finance', 'market news'],
+    "mod_en_in_hindu_30713792.html.bz2": ['response', 'plan', 'mixed', 'hindu', 'evokes', 'agriculture', 'action', '16point', 'said', 'rupees', 'india', 'national', 'lakh', 'industry', 'higher', 'farmer', 'development', 'Budget 2020 India', 'Union Budget 2020', 'India Budget 2020 News', 'Budget Expectations', 'Latest Union Budget 2020 Updates', 'Nirmala Sitharaman', 'India Budget Date', 'Budget News', 'Budget 2020 Expectations', 'Budget Announcements', 'Budget Impact', 'Union Budget Highlights', 'Union Budget 2020 by Nirmala Sitaraman', 'union budget 2020 date', 'union budget 2020 expectations', 'budget 2020 income tax', 'agricultural products', '16-point action plan', 'Oilseed Development Fund'],
+    "mod_en_in_ndtv_2373245.html.bz2": ['us', 'rises', 'recovery', 'record', 'near', 'hopes', 'hits', 'dollars', 'dollar', 'bitcoin', 'per', 'cent', 'year', 'thursday', 'overnight', 'high', 'last', 'Dollar', 'Bitcoin', 'Rupee'],
+}
+
+
+def test_keywords_golden_per_fixture():
+    """T12 closure: the full keyword column on the reference's own
+    fixtures matches a pinned golden list (tf ranking + meta merge,
+    deterministic end to end)."""
+    for case in CASES[:3]:
+        profile, fixture, url = case[0], case[1], case[2]
+        rec = process_fetched_page(CompiledProfile(profile), url, _load(fixture))
+        assert rec["keywords"] == GOLDEN_KEYWORDS[fixture], fixture
+        # tf keywords PRECEDE the meta slice (reference concatenation order)
+        assert rec["keywords"][0] not in ("", None)
+
+
 def test_content_id_fallback():
     """U11: when the url regexes fail, the content-ID pack
     (trak shortlink pattern) supplies the id before the CRC fallback."""
