@@ -764,15 +764,15 @@ class _RoundCollector:
         self.sel_rows_total = 0
         self.overflow = False
 
-    def add(self, fp: str, metrics_df, url_ref) -> bool:
-        # url_ref is a 1-element list holding an ObjectRef of the
-        # block's matched-url Arrow array: the list wrapper stops Ray
-        # from auto-dereferencing, so the (possibly large) array is
-        # never copied into this actor — the driver reads it from
-        # plasma directly. Large payloads through a single actor were
-        # a parallelism-independent serial cost per round.
+    def add(self, fp: str, metrics_df, url_arr) -> bool:
+        # url_arr: the block's matched-url Arrow array, BY VALUE in a
+        # 1-element list. Per-batch payloads are ~40 KB — under Ray's
+        # 100 KB inline threshold, so they ride inside the actor call
+        # with no plasma round-trip at all (a per-batch ray.put here
+        # measured +12 s/run of object-store churn; refs only pay off
+        # for the big selected tables, see add_selected).
         self.metrics[fp] = metrics_df
-        self.matched[fp] = url_ref
+        self.matched[fp] = url_arr
         return True
 
     def add_selected(self, fp: str, num_rows: int, table_ref) -> bool:
@@ -897,10 +897,13 @@ def make_sink_stage(
 
         # 3. metrics + matched urls (block until the actor records them —
         #    the driver reads the collector right after the execution;
-        #    urls travel as a plasma ref, not through the actor)
-        url_ref = ray.put(batch["url"].combine_chunks())
+        #    the ~40 KB per-batch url array rides INLINE in the actor
+        #    call — a per-batch ray.put measured +12 s/run of plasma
+        #    churn; refs are reserved for the big selected tables)
         ray.get(
-            collector.add.remote(fp, _partial_metrics_df(batch, parts), [url_ref])
+            collector.add.remote(
+                fp, _partial_metrics_df(batch, parts), [batch["url"].combine_chunks()]
+            )
         )
 
         # 4. link explode + transient retries → next-round frontier rows
@@ -1392,20 +1395,17 @@ class CrawlRun:
             self._restore_block_target()
         _mark("fetch_extract_sink")
 
-        partials, matched_refs = ray.get(collector.results.remote())
+        partials, matched_lists = ray.get(collector.results.remote())
         if broadcast:
             # selected urls with no page on "the web" → status-404 rows,
             # handled entirely driver-side (they produce no links).
-            # Matched urls arrive as plasma refs of Arrow arrays (zero
-            # copies through the collector actor); Arrow is_in instead
-            # of a Python set + listcomp — the old form was ~0.5 s of
-            # driver time per round at 500k selections
-            matched_arrays = (
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                 for a in ray.get([rl[0] for rl in matched_refs])]
-                if matched_refs
-                else []
-            )
+            # Arrow is_in instead of a Python set + listcomp — the old
+            # form was ~0.5 s of driver time per round at 500k selections
+            matched_arrays = [
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for rl in matched_lists
+                for a in rl
+            ]
             matched_set = (
                 pa.concat_arrays(matched_arrays)
                 if matched_arrays
