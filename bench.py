@@ -36,9 +36,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # raising throughput); 3.2M -> 0.85 crawl (round 2 final). Round 3's
 # probe-index + windowed-screen fixes cut both legs ~40% again, so the
 # workload doubles to 6.4M pages / 7200 hosts to stay in the amortized
-# regime the criterion models (10^8+ fetches/round on a real cluster).
-CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "6400000"))
-CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "7200"))
+# regime the criterion models (10^8+ fetches/round on a real cluster);
+# 12.8M / 14400 hosts after measuring ~26 s of residual parallelism-
+# independent cost per 3-round run (politeness launch+RPC latency,
+# driver select/missing) — at ~2M fetches the parallel compute
+# dominates it the way a real cluster round would.
+CRAWL_N_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "12800000"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "14400"))
 CRAWL_ROUNDS = 3
 CRAWL_BUDGET = 200
 CRAWL_LINKS_PER_HUB = 450
@@ -183,21 +187,22 @@ def run_bench() -> dict:
         # every shard actor; the actors are the serial floor) — scale
         # with the session like a real cluster sizes shards per node
         num_seen_shards=max(8, NUM_CPUS // 2),
-        # size the cuckoo filters for the fetch volume (hosts x budget x
-        # rounds can reach ~2M); an undersized filter soaks the overflow
-        # in the per-shard stash set and loses its probe speed
-        seen_capacity=1 << 19,
+        # size the cuckoo filters for the fetch volume (~2M fetches at
+        # the 12.8M-page workload); an undersized filter soaks the
+        # overflow in the per-shard stash set and loses its probe speed
+        seen_capacity=1 << 20,
         checkpoint_dir=ckpt,
         n_page_buckets=16,
         extract_concurrency=max(2, (NUM_CPUS * 3) // 4),
         extract_batch_size=512,
         seen_filter_concurrency=max(2, NUM_CPUS // 8),
         join_partitions=max(4, NUM_CPUS // 2),
-        # hosts × budget = 1.44M possible selections/round: keep the
+        # hosts × budget = 2.88M possible selections/round (observed
+        # ~1.2M): keep the
         # (faster) broadcast fetch path at bench scale; the join path is
         # exercised by tests and kicks in past this bound (set
         # BENCH_BROADCAST_LIMIT=0 to force the distributed join fetch)
-        broadcast_limit=int(os.environ.get("BENCH_BROADCAST_LIMIT", "1600000")),
+        broadcast_limit=int(os.environ.get("BENCH_BROADCAST_LIMIT", "2000000")),
     )
     t0 = time.time()
     summary = run_crawl(pages_path, spec, cfg)
@@ -277,9 +282,9 @@ def run_scaling(repeats: int = 2) -> dict:
     # (see the protocol-history table); smaller ones drown in the
     # ~10 s/round execution floor.
     scale_env = {
-        "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "6400000"),
-        "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "7200"),
-        "BENCH_BROADCAST_LIMIT": os.environ.get("BENCH_BROADCAST_LIMIT", "1600000"),
+        "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "12800000"),
+        "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "14400"),
+        "BENCH_BROADCAST_LIMIT": os.environ.get("BENCH_BROADCAST_LIMIT", "2000000"),
     }
 
     def one_leg(ncpu: int) -> dict:
