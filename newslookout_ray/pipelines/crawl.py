@@ -1533,6 +1533,53 @@ def write_articles_csv(articles, out_dir: str):
     return out_dir
 
 
+SOLR_MIN_ARTICLE_CHARS = 400
+
+
+def write_solr_payloads(articles, out_dir: str):
+    """S13 (mod_solrsubmit.py:74-102 — a TODO stub in the reference: its
+    processDataObj strips the text and would HTTP-POST an add-document
+    to a SOLR core; the class pins minArticleLengthInChars=400): build
+    the index-ready JSON documents distributedly and write them as
+    JSON-lines shards under ``out_dir`` — the submit itself is the
+    network call this sandbox (and the reference) never implements, so
+    the payload directory IS the submit queue a real deployment would
+    drain with one POST per shard.
+
+    Payload schema per doc: id (the article's unique id if present,
+    else its url), url, date (pubdate), module, content (stripped
+    text). Articles shorter than SOLR_MIN_ARTICLE_CHARS are filtered
+    out, matching the plugin's threshold.
+    """
+    import pyarrow.compute as pc
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(
+            pc.cast(batch["text"], pa.string(), safe=False)
+        )
+        keep = pc.greater_equal(
+            pc.utf8_length(text), SOLR_MIN_ARTICLE_CHARS
+        )
+        batch = batch.append_column("content", text).filter(keep)
+        names = batch.schema.names
+        ids = batch["id"] if "id" in names else batch["url"]
+        cols = {
+            "id": pc.cast(ids, pa.string(), safe=False),
+            "url": batch["url"],
+            "date": pc.cast(batch["pubdate"], pa.string(), safe=False)
+            if "pubdate" in names
+            else pa.nulls(batch.num_rows, pa.string()),
+            "module": batch["module"]
+            if "module" in names
+            else pa.nulls(batch.num_rows, pa.string()),
+            "content": batch["content"],
+        }
+        return pa.table(cols)
+
+    articles.map_batches(to_payload, batch_format="pyarrow").write_json(out_dir)
+    return out_dir
+
+
 def read_crawl_order(cfg: CrawlConfig) -> pd.DataFrame:
     """The realized fetch order: (host, round, order_in_host, url, state,
     status) from the per-round fetched tables — compared against the

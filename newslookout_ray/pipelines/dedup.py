@@ -20,7 +20,6 @@ oracle and within LSH buckets at scale.
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 
 import numpy as np
@@ -78,23 +77,31 @@ def floor_round(x: float, digits: int = 6) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _sha1_64(text: str) -> int:
-    return int.from_bytes(hashlib.sha1(text.encode("utf-8")).digest()[:8], "big")
+# second independent 64-bit key (pandas hash_array takes a 16-byte seed):
+# grouping on (h, h2) gives an effective 128-bit content key — at the
+# 10^10-doc design point a single 64-bit key expects a few birthday
+# collisions (n²/2^65 ≈ 2.7), which would silently merge distinct texts
+_HASH_KEY_2 = "nlray-exact-dup2"
 
 
 def exact_dedup(docs):
     """→ (keeper_id, n_dups) per distinct text: keeper = min doc_id.
 
-    Combiner: per-batch partials (hash, min_id, count) so the groupby
+    Combiner: per-batch partials (h, h2, min_id, count) so the groupby
     shuffle moves one row per key per batch, never the text itself.
+    Hashing is two vectorized pandas hash_array passes (cythonized
+    siphash) — the round-2 bench showed the previous per-row
+    ``str.map(sha1)`` at ~1 µs/row dominating the partial stage.
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["text"].map(_sha1_64).astype(np.uint64)
-        g = (
-            df.assign(h=h)
-            .groupby("h", as_index=False)
-            .agg(keeper_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+        texts = df["text"].to_numpy(dtype=object)
+        df = df.assign(
+            h=pd.util.hash_array(texts),
+            h2=pd.util.hash_array(texts, hash_key=_HASH_KEY_2),
+        )
+        g = df.groupby(["h", "h2"], as_index=False).agg(
+            keeper_id=("doc_id", "min"), n_dups=("doc_id", "size")
         )
         return g
 
@@ -102,7 +109,7 @@ def exact_dedup(docs):
 
     agg = (
         docs.map_batches(partial, batch_format="pandas")
-        .groupby("h")
+        .groupby(["h", "h2"])
         .aggregate(Min("keeper_id", alias_name="keeper_id"), Sum("n_dups", alias_name="n_dups"))
     )
     return agg.map_batches(

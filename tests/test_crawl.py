@@ -297,3 +297,47 @@ class TestCsvSink:
         assert "text" not in back.columns and "links" not in back.columns
         # list columns flattened to strings
         assert back["keywords"].dtype == object
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSolrSink:
+    def test_write_solr_payloads(self, corpus, tmp_path):
+        """S13: index-payload export — one JSON doc per article with
+        (id, url, date, module, content), min-length filter applied,
+        readable back as the submit queue a deployment would drain."""
+        import json as _json
+
+        import ray.data
+
+        from newslookout_ray.pipelines.crawl import (
+            SOLR_MIN_ARTICLE_CHARS,
+            read_articles,
+            run_crawl,
+            write_solr_payloads,
+        )
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "solr_run"))
+        run_crawl(pages, SPEC, cfg)
+        arts = read_articles(cfg.checkpoint_dir)
+        assert arts.num_rows > 0
+
+        out = str(tmp_path / "solr_out")
+        write_solr_payloads(ray.data.from_arrow(arts), out)
+
+        docs = []
+        for f in glob.glob(os.path.join(out, "*.json")):
+            with open(f) as fh:
+                docs.extend(_json.loads(line) for line in fh if line.strip())
+
+        texts = {
+            r["url"]: (r["text"] or "").strip()
+            for r in arts.select(["url", "text"]).to_pylist()
+        }
+        expect = {u for u, t in texts.items() if len(t) >= SOLR_MIN_ARTICLE_CHARS}
+        assert {d["url"] for d in docs} == expect
+        assert len(docs) == len(expect)
+        for d in docs[:5]:
+            assert set(d) == {"id", "url", "date", "module", "content"}
+            assert d["content"] == texts[d["url"]]
+            assert d["id"]
