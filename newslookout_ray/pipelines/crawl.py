@@ -1393,6 +1393,16 @@ class CrawlRun:
             self._write_frontier(next_frontier, r + 1)
         finally:
             self._restore_block_target()
+        if os.environ.get("CRAWL_STAGE_STATS"):
+            # post-execution operator wall-times of the fused round body
+            # (diagnostic only — stats() on the consumed plan is free)
+            import sys as _sys
+
+            print(
+                f"\n===== round {r} fetch_extract_sink stats =====\n"
+                + next_frontier.stats(),
+                file=_sys.stderr,
+            )
         _mark("fetch_extract_sink")
 
         partials, matched_lists = ray.get(collector.results.remote())

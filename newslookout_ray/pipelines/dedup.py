@@ -561,8 +561,10 @@ def embedding_near_pairs(embeddings, threshold: float = 0.4):
 
     def stage(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bmat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        from .similarity import id_column_array, list_column_matrix
+
+        bids = id_column_array(batch["vec_id"])
+        bmat = list_column_matrix(batch["embedding"])
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
         sims = (bmat / bn[:, None]) @ all_mat.T
@@ -625,8 +627,10 @@ def embedding_near_pairs_lsh(
     from .similarity import HyperplaneLSH, _normalized
 
     def expand(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        mat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        from .similarity import id_column_array, list_column_matrix
+
+        ids = id_column_array(batch["vec_id"])
+        mat = _normalized(list_column_matrix(batch["embedding"]))
         d = mat.shape[1]
         out_ids = np.tile(ids, tables)
         out_bkt = np.concatenate(

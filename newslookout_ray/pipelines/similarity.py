@@ -31,6 +31,23 @@ def _rows_to_matrix(rows, id_col="vec_id", vec_col="embedding"):
     return ids, mat
 
 
+def list_column_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from a fixed-width list<float> Arrow column in one
+    flatten + one astype — replaces per-row ``to_pylist`` conversions in
+    GEMM stages (they were the only per-row Python left in otherwise
+    vectorized scoring batches)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(dtype, copy=False)
+
+
+def id_column_array(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
 def brute_force_topk(embeddings, query_ids, k: int = 5):
     """Top-k cosine neighbors (excluding self) for each query id.
 
@@ -50,27 +67,44 @@ def brute_force_topk(embeddings, query_ids, k: int = 5):
 
     def score(batch: pa.Table) -> pa.Table:
         ids, qm = ray.get(qref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bmat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = id_column_array(batch["vec_id"])
+        bmat = _normalized(list_column_matrix(batch["embedding"]))
         sims = qm @ bmat.T  # (n_queries, batch)
+        # self-exclusion, then a per-query numpy top-k: argpartition for
+        # the k best by RAW sim, widened to include boundary ties so the
+        # (-sim, neighbor_id) order is reproduced exactly — no
+        # per-candidate Python in the combiner
+        sims[np.equal(ids[:, None], bids[None, :])] = -np.inf
+        k2 = min(k, sims.shape[1])
         out_q, out_n, out_c = [], [], []
         for qi in range(len(ids)):
-            # partial top-k within this batch (combiner): keep k best
-            cand = [
-                (float(sims[qi, j]), int(bids[j]))
-                for j in range(len(bids))
-                if bids[j] != ids[qi]
-            ]
-            cand.sort(key=lambda t: (-t[0], t[1]))
-            for c, n in cand[: k]:
-                out_q.append(int(ids[qi]))
-                out_n.append(n)
-                out_c.append(floor_round(c, 6))
+            s = sims[qi]
+            if k2 < len(s):
+                kth = s[np.argpartition(-s, k2 - 1)[:k2]].min()
+                cand = np.flatnonzero(s >= kth)
+            else:
+                cand = np.flatnonzero(s > -np.inf)
+            order = np.lexsort((bids[cand], -s[cand]))[:k2]
+            take = cand[order]
+            out_q.append(np.full(len(take), ids[qi], dtype=np.int64))
+            out_n.append(bids[take])
+            out_c.append(s[take])
+        if out_q:
+            cos = np.concatenate(out_c)
+            # floor-truncate to 6 digits, vectorized (matches floor_round)
+            cos = np.floor(cos * 1e6) / 1e6
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "cosine": pa.array(cos, pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
             }
         )
 
@@ -172,8 +206,8 @@ def ivf_topk(
 
     def score(batch: pa.Table) -> pa.Table:
         ids, qm, centroids, probes = ray.get(ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bmat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = id_column_array(batch["vec_id"])
+        bmat = _normalized(list_column_matrix(batch["embedding"]))
         assign = np.argmax(bmat @ centroids.T, axis=1)
         out_q, out_n, out_c = [], [], []
         for c in np.unique(assign):
@@ -241,8 +275,8 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
 
     def score(batch: pa.Table) -> pa.Table:
         ids, qm, probe_map = ray.get(qref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bmat = _normalized(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = id_column_array(batch["vec_id"])
+        bmat = _normalized(list_column_matrix(batch["embedding"]))
         batch_buckets = [
             HyperplaneLSH(dim=bmat.shape[1], bits=bits, seed=0xA11CE + t).bucket(bmat)
             for t in range(tables)
