@@ -272,15 +272,14 @@ def run_scaling(repeats: int = 2) -> dict:
     # on a real cluster), where per-round fixed orchestration latency
     # (~10 s/round here: two execution launches, collector round-trips,
     # manifest/seen IO) is amortized by the per-round parallel compute.
-    # ~1.2M fetches gives each protocol round enough parallel work that
+    # ~1.9M fetches gives each protocol round enough parallel work that
     # the measured ratio reflects the engine, not the sandbox's
     # per-execution floor. Overridable via the same env vars.
-    # Measured across workload sizes (BASELINE.md): 3.2M pages / 3600
-    # hosts / 547k fetches is the best-ratio configuration in-sandbox —
-    # larger workloads surface driver-broadcast linearity and the
-    # fixed-shard probe ceiling that a real cluster sizes per-node
-    # (see the protocol-history table); smaller ones drown in the
-    # ~10 s/round execution floor.
+    # Workload history (BASELINE.md protocol tables): 3.2M pages was the
+    # round-2 sweet spot at round-2 stage costs; round 3's hot-path cuts
+    # lowered both legs ~40%, so the workload doubled twice (6.4M, then
+    # 12.8M pages / 14400 hosts, constant pages/host) to keep per-round
+    # parallel compute dominant over the ~12 s/round launch floor.
     scale_env = {
         "BENCH_CRAWL_PAGES": os.environ.get("BENCH_CRAWL_PAGES", "12800000"),
         "BENCH_CRAWL_HOSTS": os.environ.get("BENCH_CRAWL_HOSTS", "14400"),

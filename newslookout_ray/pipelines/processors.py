@@ -396,34 +396,59 @@ class HeavySentimentStage(SentimentStage):
 _DEDUP_DIM = 128
 
 
-def featurize_for_dedup(batch: pa.Table) -> pa.Table:
+def make_featurize_for_dedup(embedding_col: str | None = None):
     """Compact per-article projection for the near-dedup shuffle: the
-    decision rule needs only (url, module, pubdate, size, bag vector) —
+    decision rule needs only (url, module, pubdate, size, vector) —
     shuffling these ~0.6 KB rows instead of full article text keeps the
-    date groupby's exchange and group materialization cheap."""
-    texts = batch["text"].to_pylist()
-    vecs = _bag_vectors(texts, _DEDUP_DIM).astype(np.float32)
-    sizes = pa.array([len(t or "") for t in texts], pa.int64())
-    vec_col = pa.FixedSizeListArray.from_arrays(
-        pa.array(vecs.reshape(-1), pa.float32()), _DEDUP_DIM
-    )
-    return pa.table(
-        {
-            "url": batch["url"],
-            "module": batch["module"],
-            "pubdate": batch["pubdate"],
-            "size": sizes,
-            "vec": vec_col,
-        }
-    )
+    date groupby's exchange and group materialization cheap.
+
+    ``embedding_col`` is the M2 swap point (mod_dedupe.py:244-257 uses
+    spaCy doc vectors): when articles carry a real embedding column
+    (list<float>, any fixed dim), the marks pipeline uses it —
+    normalized — in place of the token-bag stand-in. The decision rule
+    (threshold, module/size-gap skips, greedy smaller-loses) is
+    unchanged; size stays the text length, as in the reference."""
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if embedding_col is None:
+            vecs = _bag_vectors(texts, _DEDUP_DIM).astype(np.float32)
+        else:
+            from .similarity import list_column_matrix
+
+            mat = list_column_matrix(batch[embedding_col])
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            vecs = (mat / norms[:, None]).astype(np.float32)
+        dim = vecs.shape[1]
+        sizes = pa.array([len(t or "") for t in texts], pa.int64())
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), dim
+        )
+        return pa.table(
+            {
+                "url": batch["url"],
+                "module": batch["module"],
+                "pubdate": batch["pubdate"],
+                "size": sizes,
+                "vec": vec_col,
+            }
+        )
+
+    return featurize
+
+
+featurize_for_dedup = make_featurize_for_dedup()
 
 
 def near_dedup_marks_group(tbl: pa.Table) -> pa.Table:
     """Per-pubdate group over the compact projection → (url, is_duplicate)."""
     urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
+    vec_col = tbl["vec"].combine_chunks()
+    dim = vec_col.type.list_size
     vecs = (
-        tbl["vec"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        .reshape(-1, _DEDUP_DIM)
+        vec_col.flatten().to_numpy(zero_copy_only=False)
+        .reshape(-1, dim)
         .astype(np.float32)
     )
     sizes = tbl["size"].to_numpy(zero_copy_only=False)
@@ -463,6 +488,7 @@ def run_processor_chain(
     concurrency: int = 2,
     marks_broadcast_limit: int = 5_000_000,
     overlap_marks: bool = False,
+    dedup_embedding_col: str | None = None,
 ):
     """Apply the processor stages in ascending priority order (O1).
 
@@ -485,6 +511,12 @@ def run_processor_chain(
     Pass ``marks_broadcast_limit=0`` to force the hash-join attach (the
     scale path when even the duplicate-url subset is too big to
     broadcast).
+
+    ``dedup_embedding_col``: name of a list<float> column to use as the
+    near-dedup vector (the M2 swap point — the reference uses spaCy doc
+    vectors, mod_dedupe.py:244-257). Default None = the deterministic
+    token-bag stand-in. The decision rule (>=0.99 cosine, cross-module,
+    <=15% size gap, smaller loses) is identical either way.
     """
     if chain is None:
         chain = DEFAULT_CHAIN
@@ -505,13 +537,22 @@ def run_processor_chain(
                 stage, batch_format="pyarrow", concurrency=(1, max(1, concurrency))
             )
         elif kind == "dedup_marks":
+            # module-level default resolves at call time (testable); the
+            # embedding variant is built per-chain
+            featurize = (
+                featurize_for_dedup
+                if dedup_embedding_col is None
+                else make_featurize_for_dedup(dedup_embedding_col)
+            )
             if overlap_marks and marks_broadcast_limit > 0:
                 out = _attach_dedup_marks_overlapped(
-                    out, stage, marks_broadcast_limit, marks_input=text_state
+                    out, stage, marks_broadcast_limit, marks_input=text_state,
+                    featurize=featurize,
                 )
             else:
                 out = _attach_dedup_marks(
-                    out, stage, marks_broadcast_limit, marks_input=text_state
+                    out, stage, marks_broadcast_limit, marks_input=text_state,
+                    featurize=featurize,
                 )
         elif kind == "group_pubdate":
             out = out.groupby("pubdate").map_groups(stage, batch_format="pandas")
@@ -537,13 +578,13 @@ def _cached_dup_urls(dup_ref):
     return cached
 
 
-def _marks_dataset(marks_input, group_stage):
+def _marks_dataset(marks_input, group_stage, featurize=featurize_for_dedup):
     """featurize → date groupby → per-date marks (url, is_duplicate)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     return (
-        marks_input.map_batches(featurize_for_dedup, batch_format="pyarrow")
+        marks_input.map_batches(featurize, batch_format="pyarrow")
         # spread the compact rows over >=2x-cpu blocks so the sort-based
         # groupby emits that many range partitions and the per-date
         # kernels run as parallel tasks (measured 2x on the bench corpus)
@@ -597,7 +638,8 @@ def _cached_box_value(box):
 
 
 def _attach_dedup_marks_overlapped(
-    out, group_stage, marks_broadcast_limit: int, marks_input
+    out, group_stage, marks_broadcast_limit: int, marks_input,
+    featurize=featurize_for_dedup
 ):
     """Overlapped near-dedup attach: the marks branch runs in a driver
     background thread as its OWN Dataset execution while the enriched
@@ -632,7 +674,7 @@ def _attach_dedup_marks_overlapped(
 
     def compute_marks():
         try:
-            dups = _marks_dataset(marks_input, group_stage).map_batches(
+            dups = _marks_dataset(marks_input, group_stage, featurize).map_batches(
                 lambda t: t.filter(t["is_duplicate"]).select(["url"]),
                 batch_format="pyarrow",
             )
@@ -677,7 +719,8 @@ def _attach_dedup_marks_overlapped(
     )
 
 
-def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_input=None):
+def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_input=None,
+                        featurize=featurize_for_dedup):
     """Compact near-dedup flow: shuffle only (url, module, pubdate,
     size, vec) through the date groupby, then attach the
     (url, is_duplicate) marks back — broadcast when the marks table fits
@@ -698,7 +741,7 @@ def _attach_dedup_marks(out, group_stage, marks_broadcast_limit: int, marks_inpu
     if marks_input is None:
         out = marks_input = out.materialize()
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    marks = _marks_dataset(marks_input, group_stage)
+    marks = _marks_dataset(marks_input, group_stage, featurize)
     probe = collect_table(marks.limit(marks_broadcast_limit + 1))
     if probe.num_rows <= marks_broadcast_limit:
         # only the DUPLICATE urls need to travel (marks are sparse): the

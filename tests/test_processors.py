@@ -327,3 +327,67 @@ class TestSentimentUnit:
         assert out["sent_positive"].to_pylist()[1] == 0.0
         total0 = sum(out[c].to_pylist()[0] for c in ("sent_positive", "sent_neutral", "sent_negative"))
         assert abs(total0 - 3.0) < 1e-5  # 3 sentences, probs sum to 1 (rounded to 6dp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingSwapPoint:
+    """M2 swap point (mod_dedupe.py:244-257): a real embedding column
+    replaces the token-bag stand-in; decision rule unchanged."""
+
+    @staticmethod
+    def _emb_table():
+        a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        b = "one two three four five six seven eight nine ten andmore"
+        c = "totally unrelated filler content row for the control case"
+        assert len(a) == len(b)  # equal sizes -> deterministic tie-break
+        return pa.table(
+            {
+                "url": [f"https://www.h{i}.com/news/x/story-{1000000+i}" for i in range(3)],
+                "module": ["profile_a", "profile_b", "profile_a"],
+                "pubdate": [datetime.date(2021, 1, 5)] * 3,
+                "text": [a, b, c],
+            }
+        )
+
+    def test_embedding_column_drives_marks(self, ray_session):
+        import ray.data
+
+        tbl = self._emb_table()
+        # r0/r1 share no tokens (bag cosine 0) but get near-identical
+        # embeddings; marks must follow the embedding column
+        emb = [
+            [1.0, 0.0, 0.0, 0.0],
+            [1.0, 0.001, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+        ]
+        ds = ray.data.from_arrow(tbl.append_column("embedding", pa.array(emb)))
+        out = pr.run_processor_chain(ds, dedup_embedding_col="embedding").to_pandas()
+        urls = tbl["url"].to_pylist()
+        # equal sizes -> the url-sorted-later row of the pair is marked
+        assert set(out[out["is_duplicate"]]["url"]) == {urls[1]}
+        # and the default (token-bag) path marks nothing on these texts
+        base = pr.run_processor_chain(ray.data.from_arrow(tbl)).to_pandas()
+        assert not base["is_duplicate"].any()
+
+    def test_precomputed_bag_embeddings_equal_default(self, articles_ds, ray_session):
+        import pandas as pd
+        import ray.data
+
+        tbl = _articles_table()
+        # featurize parity: embedding = the bag vectors of the STRIPPED
+        # text (what the default path computes after dataprep)
+        vecs = pr._bag_vectors([t.strip() for t in tbl["text"].to_pylist()])
+        ds = ray.data.from_arrow(
+            tbl.append_column("embedding", pa.array([list(v) for v in vecs]))
+        )
+        via_emb = (
+            pr.run_processor_chain(ds, dedup_embedding_col="embedding")
+            .to_pandas().sort_values("url")[["url", "is_duplicate"]]
+            .reset_index(drop=True)
+        )
+        default = (
+            pr.run_processor_chain(articles_ds)
+            .to_pandas().sort_values("url")[["url", "is_duplicate"]]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(via_emb, default)
