@@ -361,7 +361,15 @@ def _robots_bucket_map(robots_dir: str, fb: int) -> dict:
     politeness task touches only its own fb slice — driver memory and
     broadcast volume stay O(hosts / frontier_buckets) per task instead
     of O(hosts) globally."""
-    key = (robots_dir, fb)
+    # generation = the side table's root mtime: a second run_crawl() in
+    # the same Ray session (shared checkpoint_dir, updated corpus)
+    # rmtree+rewrites the table, and warm workers must not keep serving
+    # the previous corpus's rules (one stat per task — cheap)
+    try:
+        gen = os.stat(robots_dir).st_mtime_ns
+    except OSError:
+        gen = 0
+    key = (robots_dir, fb, gen)
     cached = _ROBOTS_BUCKET_CACHE.get(key)
     if cached is None:
         import pyarrow.dataset as pads
@@ -1272,7 +1280,15 @@ class CrawlRun:
         selected_tbl = None
 
         if broadcast:
-            # zero-copy plasma reads of the politeness tasks' refs
+            # zero-copy plasma reads of the politeness tasks' refs.
+            # Fault note: these objects are owned by the (reusable) map
+            # workers that put() them — a worker dying between the
+            # politeness barrier and this get raises OwnerDiedError and
+            # fails the round, which is recovered by the manifest-last
+            # resume (the round re-runs from its frontier; nothing was
+            # committed). Serializing the tables through the collector
+            # actor would survive worker death but re-copies the whole
+            # selected set per round — resume is the cheaper contract.
             sel_tables = ray.get([rl[0] for rl in sel_ref_lists]) if sel_ref_lists else []
             selected_tbl = (
                 pa.concat_tables(sel_tables)
@@ -1519,10 +1535,12 @@ def write_articles_csv(articles, out_dir: str):
     its docstring states the intent: per-date CSV rows of every event
     attribute WITHOUT the text body, deduped): distributed CSV export
     of an articles Dataset — drop the body, join list columns to
-    pipe-separated strings (CSV has no list type), first-occurrence
-    dedupe per url within each block, write one CSV shard per block
-    under ``out_dir``. No locks needed — shards are independent files,
-    unlike the reference's single locked CSV."""
+    pipe-separated strings (CSV has no list type), dedupe per url
+    GLOBALLY (in-block drop_duplicates as the combiner, then one url
+    groupby so a url appearing in two input blocks still exports once),
+    write one CSV shard per output block under ``out_dir``. No locks
+    needed — shards are independent files, unlike the reference's
+    single locked CSV."""
 
     def flatten(batch: pa.Table) -> pa.Table:
         drop = [c for c in ("text", "html", "links") if c in batch.schema.names]
@@ -1539,7 +1557,12 @@ def write_articles_csv(articles, out_dir: str):
         df = pa.table(cols).to_pandas().drop_duplicates("url")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    articles.map_batches(flatten, batch_format="pyarrow").write_csv(out_dir)
+    (
+        articles.map_batches(flatten, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .write_csv(out_dir)
+    )
     return out_dir
 
 
@@ -1572,7 +1595,14 @@ def write_solr_payloads(articles, out_dir: str):
         )
         batch = batch.append_column("content", text).filter(keep)
         names = batch.schema.names
-        ids = batch["id"] if "id" in names else batch["url"]
+        # the article schema's identifier column is unique_id (U10/U11);
+        # fall back to url for tables that don't carry one
+        if "unique_id" in names:
+            ids = batch["unique_id"]
+        elif "id" in names:
+            ids = batch["id"]
+        else:
+            ids = batch["url"]
         cols = {
             "id": pc.cast(ids, pa.string(), safe=False),
             "url": batch["url"],

@@ -560,6 +560,14 @@ def embedding_near_pairs(embeddings, threshold: float = 0.4):
     thr = threshold
 
     def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         all_ids, all_mat = ray.get(ref)
         from .similarity import id_column_array, list_column_matrix
 
@@ -632,6 +640,16 @@ def embedding_near_pairs_lsh(
         ids = id_column_array(batch["vec_id"])
         mat = _normalized(list_column_matrix(batch["embedding"]))
         d = mat.shape[1]
+        if batch.num_rows == 0:
+            # d is unknowable on an empty variable-list batch; a
+            # variable list<double> vec keeps the schema consistent
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         out_ids = np.tile(ids, tables)
         out_bkt = np.concatenate(
             [
@@ -641,7 +659,13 @@ def embedding_near_pairs_lsh(
             ]
         ).astype(np.int64)
         flat = np.tile(mat.reshape(-1), tables)
-        vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), d)
+        # variable list<double> (offsets arange·d) so empty blocks emit
+        # the SAME schema — a fixed_size_list(d) block cannot unify with
+        # an empty block whose d is unknowable
+        offsets = pa.array(
+            (np.arange(len(out_ids) + 1, dtype=np.int64) * d).astype(np.int32)
+        )
+        vec = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float64()))
         return pa.table(
             {
                 "bkt": pa.array(out_bkt, pa.int64()),

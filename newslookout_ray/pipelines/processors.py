@@ -236,12 +236,23 @@ def _windowed_candidates(
     vs, ss, ms = vecs[order], np.asarray(sizes)[order], modules[order]
     hi = np.searchsorted(ss, ss / 0.84, side="right")
     out = []
+    budget = 1 << 21  # float32 slab cells ⇒ ~8 MB
     i = 0
     while i < n:
-        w = max(int(hi[i]) - i, 1)
-        chunk = int(max(64, (1 << 21) // max(64, w)))
-        e = min(n, i + chunk)
-        wend = int(hi[i:e].max())
+        # hi is nondecreasing (sizes sorted), so the slab for rows
+        # [i, e) is (e-i) × (hi[e-1]-i) cells; binary-search the largest
+        # e that fits the budget. Sizing from hi[i] alone under-counted:
+        # one small outlier followed by a dense plateau made the realized
+        # window arbitrarily wider than the first row's.
+        lo, top = i + 1, n
+        while lo < top:
+            mid = (lo + top + 1) // 2
+            if (mid - i) * (int(hi[mid - 1]) - i) <= budget:
+                lo = mid
+            else:
+                top = mid - 1
+        e = lo
+        wend = int(hi[e - 1])
         if wend - i >= 2:
             sims = vs[i:e] @ vs[i:wend].T
             ii, jj = np.nonzero(sims >= threshold)
@@ -422,9 +433,20 @@ def make_featurize_for_dedup(embedding_col: str | None = None):
             vecs = (mat / norms[:, None]).astype(np.float32)
         dim = vecs.shape[1]
         sizes = pa.array([len(t or "") for t in texts], pa.int64())
-        vec_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.reshape(-1), pa.float32()), dim
-        )
+        if embedding_col is None:
+            vec_col = pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), dim
+            )
+        else:
+            # variable list<float> so an EMPTY block (whose dim is
+            # unknowable for a variable-width embedding column) emits a
+            # schema that unifies with the non-empty blocks'
+            offsets = pa.array(
+                (np.arange(len(texts) + 1, dtype=np.int64) * dim).astype(np.int32)
+            )
+            vec_col = pa.ListArray.from_arrays(
+                offsets, pa.array(vecs.reshape(-1), pa.float32())
+            )
         return pa.table(
             {
                 "url": batch["url"],
@@ -445,12 +467,13 @@ def near_dedup_marks_group(tbl: pa.Table) -> pa.Table:
     """Per-pubdate group over the compact projection → (url, is_duplicate)."""
     urls = np.asarray(tbl["url"].to_pylist(), dtype=object)
     vec_col = tbl["vec"].combine_chunks()
-    dim = vec_col.type.list_size
-    vecs = (
-        vec_col.flatten().to_numpy(zero_copy_only=False)
-        .reshape(-1, dim)
-        .astype(np.float32)
+    flat = vec_col.flatten().to_numpy(zero_copy_only=False)
+    dim = (
+        vec_col.type.list_size
+        if pa.types.is_fixed_size_list(vec_col.type)
+        else (len(flat) // max(1, len(vec_col)))
     )
+    vecs = flat.reshape(-1, max(1, dim)).astype(np.float32)
     sizes = tbl["size"].to_numpy(zero_copy_only=False)
     modules = np.asarray(tbl["module"].to_pylist(), dtype=object)
     dup = _greedy_dup_flags(urls, vecs, sizes, modules)

@@ -479,7 +479,13 @@ def range_join_event_pairs(events, tolerance_sec: int = 300):
     def replicate(batch: pa.Table) -> pa.Table:
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
         bucket = ts_us // tol_us
-        etype = batch["event_type"].combine_chunks()
+        # null-safe: join_element_wise propagates nulls, which would
+        # collapse every null-type row across ALL time buckets into one
+        # shuffled group (an O(n²) hot group); a sentinel keeps null a
+        # distinct type value that still buckets by time
+        etype = pc.fill_null(
+            pc.cast(batch["event_type"].combine_chunks(), pa.string()), "\x00null"
+        )
         # key = event_type '#' bucket, composed fully vectorized (one
         # binary_join_element_wise kernel per replica side — no per-row
         # Python in the map side of the shuffle)

@@ -38,6 +38,9 @@ def list_column_matrix(col, dtype=np.float64) -> np.ndarray:
     vectorized scoring batches)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:  # reshape(0, -1) cannot infer a width
+        d = col.type.list_size if pa.types.is_fixed_size_list(col.type) else 0
+        return np.empty((0, d), dtype=dtype)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return flat.reshape(len(col), -1).astype(dtype, copy=False)
 
@@ -66,6 +69,14 @@ def brute_force_topk(embeddings, query_ids, k: int = 5):
     qref = ray.put((qids, _normalized(qmat)))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids, qm = ray.get(qref)
         bids = id_column_array(batch["vec_id"])
         bmat = _normalized(list_column_matrix(batch["embedding"]))
@@ -205,6 +216,14 @@ def ivf_topk(
     ref = ray.put((qids, qn, cent, probe_sets))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids, qm, centroids, probes = ray.get(ref)
         bids = id_column_array(batch["vec_id"])
         bmat = _normalized(list_column_matrix(batch["embedding"]))
@@ -274,6 +293,14 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
     qref = ray.put((qids, qn, probe))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids, qm, probe_map = ray.get(qref)
         bids = id_column_array(batch["vec_id"])
         bmat = _normalized(list_column_matrix(batch["embedding"]))

@@ -233,6 +233,25 @@ class TestWindowedScreen:
         assert a.shape == b.shape and (a == b).all()
         assert len(a) > 50  # the injected twins were found
 
+    def test_windowed_outlier_plateau_bounded_and_equal(self):
+        """Chunk sizing regression: one tiny outlier followed by a dense
+        same-size plateau used to size the chunk from the outlier's
+        window alone while the slab spanned the plateau's — the
+        binary-searched bound must keep equality with the exact screen
+        (the memory bound is structural: (e-i)·(hi[e-1]-i) <= 2^21)."""
+        rng = np.random.RandomState(3)
+        n = 3000
+        vecs = rng.normal(size=(n, 16)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs[1500] = vecs[2999]  # one twin inside the plateau
+        sizes = np.full(n, 10_000, dtype=np.int64)
+        sizes[0] = 100  # the outlier
+        modules = np.array([f"m{i % 2}" for i in range(n)], dtype=object)
+        a = pr._windowed_candidates(vecs, sizes, modules, threshold=0.999)
+        b = pr._chunked_candidates(vecs, sizes, modules, threshold=0.999)
+        assert a.shape == b.shape and (a == b).all()
+        assert len(a) >= 1
+
     def test_single_module_short_circuit(self):
         """Cross-module is part of the rule: a single-module group has
         provably no candidates and must cost ~zero (no GEMM)."""

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from newslookout_ray.pipelines import similarity
@@ -85,3 +86,46 @@ class TestLSH:
         for _, row in lsh.iterrows():
             true_c = float(norm[int(row["query_id"])] @ norm[int(row["neighbor_id"])])
             assert abs(true_c - row["cosine"]) < 1e-5
+
+
+class TestEmptyBatches:
+    """Empty Arrow blocks (post-filter) must not crash the vectorized
+    kernels or emit schema-incompatible tables."""
+
+    def test_list_column_matrix_empty_fixed_and_variable(self):
+        from newslookout_ray.pipelines.similarity import list_column_matrix
+
+        fixed = pa.array([], pa.list_(pa.float32(), 4))
+        var = pa.array([], pa.list_(pa.float64()))
+        assert list_column_matrix(fixed).shape == (0, 4)
+        assert list_column_matrix(var).shape == (0, 0)
+
+    def test_featurize_embedding_empty_batch_schema(self):
+        from newslookout_ray.pipelines.processors import make_featurize_for_dedup
+
+        feat = make_featurize_for_dedup("embedding")
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("module", pa.string()),
+                ("pubdate", pa.date32()),
+                ("text", pa.string()),
+                ("embedding", pa.list_(pa.float64())),
+            ]
+        )
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+        )
+        full = pa.table(
+            {
+                "url": ["u1"],
+                "module": ["m"],
+                "pubdate": pa.array([0], pa.date32()),
+                "text": ["hello world"],
+                "embedding": pa.array([[1.0, 0.0, 0.0]], pa.list_(pa.float64())),
+            }
+        )
+        out_e, out_f = feat(empty), feat(full)
+        assert out_e.num_rows == 0 and out_f.num_rows == 1
+        # the empty block's schema must unify with the non-empty one
+        assert out_e.schema.field("vec").type == out_f.schema.field("vec").type

@@ -149,6 +149,20 @@ class TestRangeJoin:
         ).to_pandas()
         return set(zip(out["left_id"], out["right_id"])), out
 
+    def test_null_event_type_stays_bucketed(self):
+        """Null event_type must behave as its OWN type value and still
+        bucket by time — not collapse into one global null group (and
+        not crash the vectorized key composition)."""
+        pairs, out = self._run(
+            [1, 2, 3, 4],
+            [_ts(0), _ts(4, 0), _ts(40, 0), _ts(41, 0)],
+            [None, None, None, "click"],
+            300,
+        )
+        # 1-2 within 240s; 3 is 36min away (different buckets, no pair);
+        # 4 is a different type than 3 even at 60s gap
+        assert pairs == {(1, 2)}
+
     def test_exact_tolerance_included_and_cross_bucket_once(self):
         # 10:00:00 / 10:04:59 straddle no bucket edge; 10:04:59 /
         # 10:09:59 (gap == 300 s) straddles the 10:05 bucket boundary —
