@@ -1535,12 +1535,23 @@ def write_articles_csv(articles, out_dir: str):
     its docstring states the intent: per-date CSV rows of every event
     attribute WITHOUT the text body, deduped): distributed CSV export
     of an articles Dataset — drop the body, join list columns to
-    pipe-separated strings (CSV has no list type), dedupe per url
-    GLOBALLY (in-block drop_duplicates as the combiner, then one url
-    groupby so a url appearing in two input blocks still exports once),
-    write one CSV shard per output block under ``out_dir``. No locks
-    needed — shards are independent files, unlike the reference's
-    single locked CSV."""
+    pipe-separated strings (CSV has no list type, vectorized
+    ``binary_join``), dedupe per url GLOBALLY (in-block
+    ``drop_duplicates`` as the combiner, then a hash(url)-bucket
+    groupby with ONE vectorized ``drop_duplicates`` per bucket — ~2×cpu
+    buckets, so the Python-call count is O(cpus), not O(urls)), write
+    one CSV shard per output block under ``out_dir``. No locks needed —
+    shards are independent files, unlike the reference's single locked
+    CSV."""
+
+    import ray
+
+    import pyarrow.compute as pc
+
+    # ~2× CPUs buckets: enough parallelism for the dedup shuffle, few
+    # enough that the per-bucket Python-call count is O(cpus), not
+    # O(distinct urls) — the politeness fb pattern (see politeness_split).
+    num_buckets = max(8, 2 * int(ray.cluster_resources().get("CPU", 16)))
 
     def flatten(batch: pa.Table) -> pa.Table:
         drop = [c for c in ("text", "html", "links") if c in batch.schema.names]
@@ -1548,19 +1559,29 @@ def write_articles_csv(articles, out_dir: str):
         cols = {}
         for name in batch.schema.names:
             col = batch[name]
-            if pa.types.is_list(col.type):
-                cols[name] = pa.array(
-                    ["|".join(v or []) for v in col.to_pylist()], pa.string()
-                )
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                # vectorized pipe-join; null list -> "" like "|".join([])
+                cols[name] = pc.fill_null(
+                    pc.binary_join(col, "|"), ""
+                ).cast(pa.string())
             else:
                 cols[name] = col
+        # in-block combiner: vectorized first-occurrence per url
         df = pa.table(cols).to_pandas().drop_duplicates("url")
+        df["__fb"] = (
+            pd.util.hash_array(df["url"].to_numpy(dtype=object)) % num_buckets
+        ).astype(np.int32)
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    def bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per fb bucket (<= num_buckets Python calls
+        # total), NOT one call per distinct url
+        return df.drop_duplicates("url").drop(columns="__fb")
 
     (
         articles.map_batches(flatten, batch_format="pyarrow")
-        .groupby("url")
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .groupby("__fb")
+        .map_groups(bucket_dedup, batch_format="pandas")
         .write_csv(out_dir)
     )
     return out_dir

@@ -88,34 +88,64 @@ def quality_score_stage(batch: pa.Table) -> pa.Table:
     )
 
 
-class LangIdStage:
-    """Stopword-hit language ID (actor stage: token sets built once).
+#: Per-language Arrow value-set arrays for ``pc.is_in`` — built once per
+#: process (module-level cache), shared by every stateless task invocation.
+_LANG_VALUE_SETS: list | None = None
+
+
+def _lang_value_sets() -> list:
+    global _LANG_VALUE_SETS
+    if _LANG_VALUE_SETS is None:
+        _LANG_VALUE_SETS = [
+            pa.array(LANG_STOPWORDS[lang], pa.string()) for lang in LANG_ORDER
+        ]
+    return _LANG_VALUE_SETS
+
+
+def lang_id_stage(batch: pa.Table) -> pa.Table:
+    """Stopword-hit language ID, fully vectorized (stateless task).
 
     predicted = argmax over languages of exact-token stopword hits
     (space-split tokens), ties broken by LANG_ORDER; no hits → 'und'.
+
+    One ``split_pattern`` pass over the batch, one C-level ``is_in``
+    per language over the flattened token array, and one
+    ``np.add.reduceat`` segment-sum per language — no per-row Python.
+    Splitting "" yields [""], so every doc owns ≥1 flattened slot and
+    the reduceat segment starts are strictly increasing and in range.
     """
-
-    def __init__(self):
-        self.sets = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        pred = []
-        for t in texts:
-            toks = (t or "").split(" ")
-            best_lang, best_hits = "und", 0
-            for lang in LANG_ORDER:
-                hits = sum(1 for tok in toks if tok in self.sets[lang])
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            pred.append(best_lang)
+    n = batch.num_rows
+    if n == 0:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "lang": batch["lang"],
-                "predicted_lang": pa.array(pred, pa.string()),
+                "predicted_lang": pa.array([], pa.string()),
             }
         )
+    toks = pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    values = pc.list_flatten(toks)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    hits = np.zeros((n, len(LANG_ORDER)), dtype=np.int64)
+    if len(values):
+        for j, vs in enumerate(_lang_value_sets()):
+            m = pc.is_in(values, value_set=vs).to_numpy(zero_copy_only=False)
+            hits[:, j] = np.add.reduceat(m.astype(np.int64), starts)
+    best = hits.argmax(axis=1)  # first max in LANG_ORDER == reference tie-break
+    maxh = hits.max(axis=1)
+    langs = np.asarray(LANG_ORDER, dtype=object)
+    pred = np.where(maxh > 0, langs[best], "und")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "predicted_lang": pa.array(pred.tolist(), pa.string()),
+        }
+    )
 
 
 _FP_MOD = np.uint64((1 << 31) - 1)  # Mersenne prime: products fit uint64
@@ -172,8 +202,10 @@ def run_quality(docs):
     return docs.map_batches(quality_score_stage, batch_format="pyarrow")
 
 
-def run_lang_id(docs, concurrency: int = 2):
-    return docs.map_batches(LangIdStage, batch_format="pyarrow", concurrency=concurrency)
+def run_lang_id(docs, concurrency=None):
+    """Stateless-task lang ID; ``concurrency`` kept for API compat (unused —
+    the stage no longer needs an actor pool, Ray sizes tasks itself)."""
+    return docs.map_batches(lang_id_stage, batch_format="pyarrow")
 
 
 def run_fingerprint(docs):
