@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import collect_rows, collect_table
+from ..util import collect_rows, collect_table, fb_buckets as _fb_buckets
 
 NGRAM = 3
 MINHASH_PERMS = 128
@@ -440,46 +440,110 @@ def simhash_near_pairs(docs, max_hamming: int = 12, concurrency: int = 2):
     exact. For guaranteed recall at larger radii use more/narrower bands
     or multi-probe."""
     sig = simhash_table(docs, concurrency=concurrency)
+    num_buckets = _fb_buckets()
 
     _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    _PAIR_SLAB = 4_000_000  # max candidate pairs materialized at once
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        # vectorized band explode: each doc → 4 rows (band_key, simhash)
+        # vectorized band explode: each doc → 4 rows (band_key, simhash);
+        # __fb = hash(band_key) % ~2×cpus so the downstream groupby makes
+        # O(cpus) groups (each holding many whole bands), not O(bands)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = np.arange(4, dtype=np.uint64)
         keys = (((hs[:, None] >> (np.uint64(16) * b)) & np.uint64(0xFFFF)) | (b << np.uint64(16)))
+        flat = keys.reshape(-1).astype(np.int64)
         return pa.table(
             {
                 "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
-                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                "band_key": pa.array(flat, pa.int64()),
                 "simhash": pa.array(np.repeat(hs, 4), pa.uint64()),
+                "__fb": pa.array(
+                    (pd.util.hash_array(flat) % num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": np.array([], dtype=np.int64),
+                "b": np.array([], dtype=np.int64),
+                "hamming": np.array([], dtype=np.int64),
+                "__fb2": np.array([], dtype=np.int32),
             }
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
+        # one vectorized pass over ALL band groups in this fb bucket:
+        # sort by (band_key, doc_id), then generate every within-band
+        # (a<b) pair with repeat/cumsum index algebra — no per-band or
+        # per-row Python. Candidate-pair index arrays are slab-bounded.
+        rows = df.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="mergesort"
+        )
+        n = len(rows)
+        if n == 0:
+            return _empty_pairs()
         ids = rows["doc_id"].to_numpy()
         hs = rows["simhash"].to_numpy(dtype=np.uint64)
-        out_a, out_b, dist = [], [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(hs[i], hs[i + 1 :])
-            # byte-table popcount, no per-pair Python int conversion
-            ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-            hit = np.nonzero(ham <= max_hamming)[0]
-            out_a.extend([int(ids[i])] * len(hit))
-            out_b.extend(int(ids[i + 1 + j]) for j in hit)
-            dist.extend(int(ham[j]) for j in hit)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": dist})
+        bk = rows["band_key"].to_numpy()
+        new = np.ones(n, dtype=bool)
+        new[1:] = bk[1:] != bk[:-1]
+        grp_start = np.flatnonzero(new)  # first row index of each band group
+        grp_id = np.cumsum(new) - 1
+        local = np.arange(n, dtype=np.int64) - grp_start[grp_id]
+        cum = np.cumsum(local)  # pairs contributed by rows[0..r]
+        frames = []
+        start_row, base = 0, 0
+        while start_row < n:
+            end_row = int(np.searchsorted(cum, base + _PAIR_SLAB, side="left")) + 1
+            end_row = min(max(end_row, start_row + 1), n)
+            loc = local[start_row:end_row]
+            m = int(loc.sum())
+            base = int(cum[end_row - 1])
+            if m:
+                # row r is the "b" side of loc[r] pairs whose "a" side is
+                # the rows before it in its band group (doc_id-sorted ⇒ a<b)
+                b_idx = np.repeat(np.arange(start_row, end_row), loc)
+                seg_start = np.repeat(grp_start[grp_id[start_row:end_row]], loc)
+                excl = np.concatenate(([0], np.cumsum(loc)[:-1]))
+                offset = np.arange(m, dtype=np.int64) - np.repeat(excl, loc)
+                a_idx = seg_start + offset
+                x = hs[a_idx] ^ hs[b_idx]
+                ham = _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+                hit = ham <= max_hamming
+                if hit.any():
+                    a = ids[a_idx[hit]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "a": a,
+                                "b": ids[b_idx[hit]],
+                                "hamming": ham[hit],
+                                "__fb2": (
+                                    pd.util.hash_array(a) % num_buckets
+                                ).astype(np.int32),
+                            }
+                        )
+                    )
+            start_row = end_row
+        if not frames:
+            return _empty_pairs()
+        return pd.concat(frames, ignore_index=True)
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-band duplicate pairs collide here (same a ⇒ same bucket);
+        # one vectorized drop_duplicates per fb2 bucket
+        return df.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
 
     pairs = (
         sig.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
+        .groupby("__fb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby("a").map_groups(
-        lambda g: g.drop_duplicates(["a", "b"]), batch_format="pandas"
-    )
+    return pairs.groupby("__fb2").map_groups(dedup_bucket, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

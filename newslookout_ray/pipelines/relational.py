@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import fb_buckets as _fb_buckets
+
 
 def _cents(col) -> pa.Array:
     """Half-up integer cents: floor(x*100 + 0.5). Arrow's round() is
@@ -263,27 +265,40 @@ def priority_revenue(orders, lineitem, num_partitions: int = 8):
 def per_key_limit(events, k: int = 5):
     """O2 analogue: first k events per user by (ts, event_id).
 
-    Combiner: per-batch per-user head-k, then exact head-k per group —
-    same two-phase shape as the crawl's politeness budget.
+    Combiner: per-batch per-user head-k, then a hash(user)-bucket
+    groupby with ONE vectorized pass per bucket (sort + cythonized
+    groupby.head / cumcount — no per-user Python calls), same two-phase
+    shape as the crawl's politeness budget.
     """
+    num_buckets = _fb_buckets()
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
+        out = (
             df.sort_values(["ts", "event_id"], kind="mergesort")
             .groupby("user_id", sort=False)
             .head(k)
         )
+        out = out.assign(
+            __fb=(
+                pd.util.hash_array(out["user_id"].to_numpy()) % num_buckets
+            ).astype(np.int32)
+        )
+        return out
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.sort_values(["ts", "event_id"], kind="mergesort").head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    def pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            .groupby("user_id", sort=False)
+            .head(k)
+        )
+        g = g.assign(rank=g.groupby("user_id", sort=False).cumcount() + 1)
         return g[["user_id", "event_id", "rank"]]
 
     return (
         events.select_columns(["user_id", "event_id", "ts"])
         .map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .map_groups(pick, batch_format="pandas")
+        .groupby("__fb")
+        .map_groups(pick_bucket, batch_format="pandas")
     )
 
 
@@ -338,30 +353,39 @@ def session_windows(events, gap_minutes: int = 30):
     user's inter-event gap exceeds ``gap_minutes``. Per session:
     (user_id, session_start, session_end, n_events, value_cents).
 
-    Shape: one single-key hash shuffle (groupby user) colocates each
-    user's events; inside a group the session assignment is one
-    vectorized pass — sort by (ts, event_id), boundary = gap > threshold,
-    session id = cumsum(boundary). Partitioning assumption: one user's
-    events fit one group (sessions never span groups); salt by coarse
-    time range if a single user exceeds group memory at scale."""
+    Shape: one single-key hash shuffle (groupby a ~2×cpu hash(user)
+    bucket) colocates each user's events; inside a bucket the session
+    assignment for EVERY user is one vectorized pass — sort by
+    (user_id, ts, event_id), boundary = user change OR gap > threshold,
+    session id = cumsum(boundary), then one cythonized groupby(sid)
+    aggregate. Python-call count is O(buckets), not O(users).
+    Partitioning assumption: one user's events fit one bucket (sessions
+    never span buckets); salt by coarse time range if a single user
+    exceeds bucket memory at scale."""
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+    num_buckets = _fb_buckets()
 
     def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "event_id": batch["event_id"],
                 "ts": batch["ts"],
                 "value_c": _cents(batch["value"]),
+                "__fb": pa.array(
+                    (pd.util.hash_array(uid) % num_buckets).astype(np.int32)
+                ),
             }
         )
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = df["ts"].to_numpy()
+        uid = df["user_id"].to_numpy()
         brk = np.ones(len(df), dtype=np.int64)
         if len(df) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+            brk[1:] = ((uid[1:] != uid[:-1]) | (np.diff(ts) > gap)).astype(np.int64)
         g = df.assign(sid=np.cumsum(brk)).groupby("sid", as_index=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
@@ -373,8 +397,8 @@ def session_windows(events, gap_minutes: int = 30):
 
     return (
         events.map_batches(prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .groupby("__fb")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

@@ -15,8 +15,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import floor_round
-from ..util import collect_rows
+from .dedup import floor_round  # noqa: F401  (re-export; scalar twin of the
+# vectorized np.floor(x*1e6)/1e6 used in the score stages)
+from ..util import collect_rows, fb_buckets as _fb_buckets
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
@@ -49,6 +50,46 @@ def id_column_array(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _empty_scores() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _reduce_topk_bucketed(partials, k: int):
+    """Global (query, neighbor) dedup + per-query top-k as a hash(query)
+    bucket groupby: ONE vectorized sort + cythonized groupby.head/cumcount
+    per bucket (~2×cpus buckets) — no per-query Python calls."""
+    num_buckets = _fb_buckets()
+
+    def add_fb(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__fb", pa.array((pd.util.hash_array(q) % num_buckets).astype(np.int32))
+        )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "neighbor_id"])
+        df = df.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        df = df.groupby("query_id", sort=False).head(k)
+        df = df.assign(rank=(df.groupby("query_id", sort=False).cumcount() + 1))
+        return df[["query_id", "neighbor_id", "cosine", "rank"]]
+
+    return (
+        partials.map_batches(add_fb, batch_format="pyarrow")
+        .groupby("__fb")
+        .map_groups(pick, batch_format="pandas")
+    )
 
 
 def brute_force_topk(embeddings, query_ids, k: int = 5):
@@ -119,14 +160,8 @@ def brute_force_topk(embeddings, query_ids, k: int = 5):
             }
         )
 
-    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     partials = embeddings.map_batches(score, batch_format="pyarrow", batch_size=1024)
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk_bucketed(partials, k)
 
 
 class HyperplaneLSH:
@@ -213,6 +248,7 @@ def ivf_topk(
     for qi, cents in enumerate(order):
         for c in cents:
             probe_sets.setdefault(int(c), []).append(qi)
+    probe_sets = {c: np.asarray(v, dtype=np.int64) for c, v in probe_sets.items()}
     ref = ray.put((qids, qn, cent, probe_sets))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -228,37 +264,35 @@ def ivf_topk(
         bids = id_column_array(batch["vec_id"])
         bmat = _normalized(list_column_matrix(batch["embedding"]))
         assign = np.argmax(bmat @ centroids.T, axis=1)
-        out_q, out_n, out_c = [], [], []
+        # per-CENTROID loop (<= n_centroids iterations), vectorized emit:
+        # one GEMM + repeat/tile flatten per inverted list — no per-pair
+        # Python
+        frames_q, frames_n, frames_c = [], [], []
         for c in np.unique(assign):
             q_idx = probes.get(int(c))
-            if not q_idx:
+            if q_idx is None or not len(q_idx):
                 continue
-            rows = np.nonzero(assign == c)[0]
-            sims = qm[q_idx] @ bmat[rows].T  # (probing queries, list rows)
-            for a, qi in enumerate(q_idx):
-                for b, j in enumerate(rows):
-                    if bids[j] == ids[qi]:
-                        continue
-                    out_q.append(int(ids[qi]))
-                    out_n.append(int(bids[j]))
-                    out_c.append(floor_round(float(sims[a, b]), 6))
+            qsel = np.asarray(q_idx, dtype=np.int64)
+            rows = np.flatnonzero(assign == c)
+            sims = qm[qsel] @ bmat[rows].T  # (probing queries, list rows)
+            qq = np.repeat(ids[qsel], len(rows))
+            nn = np.tile(bids[rows], len(qsel))
+            keep = qq != nn  # self-exclusion
+            frames_q.append(qq[keep])
+            frames_n.append(nn[keep])
+            frames_c.append(np.floor(sims.reshape(-1)[keep] * 1e6) / 1e6)
+        if not frames_q:
+            return _empty_scores()
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                "query_id": pa.array(np.concatenate(frames_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(frames_n), pa.int64()),
+                "cosine": pa.array(np.concatenate(frames_c), pa.float64()),
             }
         )
 
-    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["query_id", "neighbor_id"])
-        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     partials = embeddings.map_batches(score, batch_format="pyarrow", batch_size=1024)
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk_bucketed(partials, k)
 
 
 def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
@@ -290,6 +324,7 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
         for i, b in enumerate(qbuckets):
             for tb in [int(b)] + [int(b) ^ (1 << j) for j in range(bits)]:
                 probe.setdefault((t, tb), []).append(i)
+    probe = {key: np.asarray(v, dtype=np.int64) for key, v in probe.items()}
     qref = ray.put((qids, qn, probe))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -304,36 +339,42 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
         ids, qm, probe_map = ray.get(qref)
         bids = id_column_array(batch["vec_id"])
         bmat = _normalized(list_column_matrix(batch["embedding"]))
-        batch_buckets = [
-            HyperplaneLSH(dim=bmat.shape[1], bits=bits, seed=0xA11CE + t).bucket(bmat)
-            for t in range(tables)
-        ]  # one matmul per table for the whole batch
-        out_q, out_n, out_c = [], [], []
-        for j in range(len(bids)):
-            cands = set()
-            for t in range(tables):
-                cands.update(probe_map.get((t, int(batch_buckets[t][j])), ()))
-            for qi in cands:  # co-bucketed in any table
-                if bids[j] == ids[qi]:
+        # candidate (query, row) pairs built per unique BUCKET (<= 2^bits
+        # tiny iterations per table, each pure repeat/tile), then one
+        # np.unique pair-dedup and ONE row-gathered einsum for every
+        # cosine — no per-row or per-pair Python
+        pair_q, pair_j = [], []
+        for t in range(tables):
+            buckets = HyperplaneLSH(
+                dim=bmat.shape[1], bits=bits, seed=0xA11CE + t
+            ).bucket(bmat)  # one matmul per table for the whole batch
+            uniq, inv = np.unique(buckets, return_inverse=True)
+            for u_i, u in enumerate(uniq):
+                q_idx = probe_map.get((t, int(u)))
+                if q_idx is None or not len(q_idx):
                     continue
-                c = float(qm[qi] @ bmat[j])
-                out_q.append(int(ids[qi]))
-                out_n.append(int(bids[j]))
-                out_c.append(floor_round(c, 6))
+                rows = np.flatnonzero(inv == u_i)
+                pair_q.append(np.repeat(q_idx, len(rows)))
+                pair_j.append(np.tile(rows, len(q_idx)))
+        if not pair_q:
+            return _empty_scores()
+        qi_arr = np.concatenate(pair_q)
+        j_arr = np.concatenate(pair_j)
+        key = qi_arr * np.int64(len(bids)) + j_arr  # dedup cross-table hits
+        _, first = np.unique(key, return_index=True)
+        qi_arr, j_arr = qi_arr[first], j_arr[first]
+        keep = ids[qi_arr] != bids[j_arr]  # self-exclusion
+        qi_arr, j_arr = qi_arr[keep], j_arr[keep]
+        if not len(qi_arr):
+            return _empty_scores()
+        cos = np.einsum("ij,ij->i", qm[qi_arr], bmat[j_arr])
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
+                "query_id": pa.array(ids[qi_arr], pa.int64()),
+                "neighbor_id": pa.array(bids[j_arr], pa.int64()),
+                "cosine": pa.array(np.floor(cos * 1e6) / 1e6, pa.float64()),
             }
         )
 
-    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["query_id", "neighbor_id"])
-        df = df.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     partials = embeddings.map_batches(score, batch_format="pyarrow", batch_size=1024)
-    return partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+    return _reduce_topk_bucketed(partials, k)

@@ -41,6 +41,19 @@ def collect_table(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
+def fb_buckets(default_cpus: int = 16) -> int:
+    """~2× cluster CPUs: enough shuffle parallelism, few enough that a
+    per-bucket Python call count is O(cpus), not O(keys) — the crawl's
+    politeness fb pattern (crawl.py politeness_split)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", default_cpus))
+    except Exception:
+        cpus = default_cpus
+    return max(8, 2 * cpus)
+
+
 def collect_rows(ds) -> list:
     """Row dicts via the fast Arrow path (see collect_table)."""
     return collect_table(ds).to_pylist()
