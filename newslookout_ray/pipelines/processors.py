@@ -200,6 +200,106 @@ def _chunked_candidates(
     return np.concatenate(out)  # chunks ascend in i → already lex sorted
 
 
+#: Degenerate-window switch for the near-dedup screen: when the
+#: size-sorted sliding window spans more than this many rows (a uniform
+#: size plateau on a hot date), the windowed GEMM degrades to O(w²·d);
+#: past the cutoff an SRP band pre-block bounds the quadratic. Below it
+#: the exact windowed GEMM always wins (SRP over-collides on correlated
+#: same-corpus bag vectors — measured in round 2), so the switch applies
+#: ONLY where quadratic cost exceeds the over-collision cost.
+NEAR_DEDUP_SRP_WINDOW_CUTOFF = 50_000
+_SRP_BITS = 12  # buckets/band = 4096
+_SRP_BANDS = 20  # P(miss | cos>=0.99) = (1 - 0.971^12)^20 ≈ 3e-11 per pair
+_SRP_SEED = 0x5EED5
+_PAIR_SLAB = 1 << 22  # candidate index pairs materialized at once
+_VERIFY_SLAB = 1 << 19  # pairs per cosine-verify gather (2×512k×d floats)
+
+
+def _srp_candidates(
+    vecs: np.ndarray, sizes: np.ndarray, modules: np.ndarray, threshold: float = 0.99
+) -> np.ndarray:
+    """Candidate pairs via signed-random-projection band pre-blocking —
+    the degenerate-window escape hatch (see NEAR_DEDUP_SRP_WINDOW_CUTOFF).
+
+    20 bands × 12 seeded hyperplane bits; rows sharing a band key are
+    paired (within-bucket pair generation is the same repeat/cumsum
+    index algebra as simhash's bucket_pairs, slab-bounded), pairs are
+    unioned across bands, and EVERY surviving pair is exact-verified
+    (cosine, cross-module, ≤15% size gap), so precision is exact.
+    Recall is probabilistic: P(a cosine≥0.99 pair misses all 20 bands)
+    ≈ 3e-11 — ~0.005 expected misses even at 10^7.5 qualifying pairs —
+    versus the windowed GEMM's exactness; that trade only engages where
+    the GEMM is O(w²·d) with w > the cutoff. Output format matches
+    ``_chunked_candidates``: lexicographically sorted (i, j), i<j."""
+    n = len(vecs)
+    if n < 2:
+        return np.empty((0, 2), dtype=np.int64)
+    rng = np.random.RandomState(_SRP_SEED)
+    planes = rng.normal(size=(vecs.shape[1], _SRP_BITS * _SRP_BANDS)).astype(
+        vecs.dtype
+    )
+    bits = vecs @ planes > 0  # (n, bits*bands), one GEMM
+    weights = 1 << np.arange(_SRP_BITS, dtype=np.int64)
+    cand_keys: list = []
+    for band in range(_SRP_BANDS):
+        keys = (
+            bits[:, band * _SRP_BITS : (band + 1) * _SRP_BITS].astype(np.int64)
+            @ weights
+        )
+        srt = np.argsort(keys, kind="stable")
+        ks = keys[srt]
+        new = np.ones(n, dtype=bool)
+        new[1:] = ks[1:] != ks[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_id = np.cumsum(new) - 1
+        local = np.arange(n, dtype=np.int64) - grp_start[grp_id]
+        cum = np.cumsum(local)
+        start_row, base = 0, 0
+        while start_row < n:
+            end_row = int(np.searchsorted(cum, base + _PAIR_SLAB, side="left")) + 1
+            end_row = min(max(end_row, start_row + 1), n)
+            loc = local[start_row:end_row]
+            m = int(loc.sum())
+            base = int(cum[end_row - 1])
+            if m:
+                b_idx = np.repeat(np.arange(start_row, end_row), loc)
+                seg_start = np.repeat(grp_start[grp_id[start_row:end_row]], loc)
+                excl = np.concatenate(([0], np.cumsum(loc)[:-1]))
+                offset = np.arange(m, dtype=np.int64) - np.repeat(excl, loc)
+                a_idx = seg_start + offset
+                a = srt[a_idx]
+                b = srt[b_idx]
+                lo = np.minimum(a, b)
+                hi_ = np.maximum(a, b)
+                # cheap predicates first (module / size) so the union and
+                # the cosine verify only see pairs the rule could accept
+                big = np.maximum(sizes[lo], sizes[hi_])
+                small = np.minimum(sizes[lo], sizes[hi_])
+                ok = (
+                    (modules[lo] != modules[hi_])
+                    & (big > 0)
+                    & ((big - small) <= 0.15 * big)
+                )
+                if ok.any():
+                    cand_keys.append(lo[ok] * np.int64(n) + hi_[ok])
+            start_row = end_row
+    if not cand_keys:
+        return np.empty((0, 2), dtype=np.int64)
+    keys = np.unique(np.concatenate(cand_keys))  # cross-band dedup + lex sort
+    out = []
+    for s in range(0, len(keys), _VERIFY_SLAB):
+        ks = keys[s : s + _VERIFY_SLAB]
+        ii = ks // n
+        jj = ks % n
+        cos = np.einsum("ij,ij->i", vecs[ii], vecs[jj])
+        hit = cos >= threshold
+        if hit.any():
+            out.append(np.column_stack((ii[hit], jj[hit])))
+    if not out:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.concatenate(out)  # keys ascend ⇒ already lex sorted
+
+
 def _windowed_candidates(
     vecs: np.ndarray, sizes: np.ndarray, modules: np.ndarray, threshold: float = 0.99
 ) -> np.ndarray:
@@ -220,9 +320,11 @@ def _windowed_candidates(
 
     Compute is O(n·w·d) where w = rows within 15% of each size —
     measured 4× under the full GEMM on the bench corpus's narrow size
-    distribution, and far more on spread distributions. Worst case
-    (every row the same size AND cross-module) degrades to the exact
-    chunked GEMM's O(n²·d) with the same bounded memory. Output pairs
+    distribution, and far more on spread distributions. Degenerate case
+    (a uniform-size plateau wider than NEAR_DEDUP_SRP_WINDOW_CUTOFF,
+    where the window IS the group) threshold-switches to the SRP band
+    pre-block (``_srp_candidates``: exact precision, ~1-3e-11 per-pair
+    miss probability) instead of degrading to O(n²·d). Output pairs
     are lexicographically sorted positional indices, as the greedy
     loop requires."""
     n = len(vecs)
@@ -235,6 +337,10 @@ def _windowed_candidates(
     order = np.argsort(sizes, kind="stable")
     vs, ss, ms = vecs[order], np.asarray(sizes)[order], modules[order]
     hi = np.searchsorted(ss, ss / 0.84, side="right")
+    if int((hi - np.arange(n)).max()) > NEAR_DEDUP_SRP_WINDOW_CUTOFF:
+        # degenerate window (uniform-size plateau): the windowed GEMM is
+        # O(w²·d) — switch to the SRP band pre-block + exact verify
+        return _srp_candidates(vecs, np.asarray(sizes), modules, threshold)
     out = []
     budget = 1 << 21  # float32 slab cells ⇒ ~8 MB
     i = 0
