@@ -30,9 +30,15 @@ COSINE_THRESHOLD = 0.4
 
 
 def _read(sf_dir: str, table: str):
+    import pyarrow.parquet as pq
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    # schema= with the b'pandas' metadata stripped (one driver-side
+    # footer read, zero per-block cost): the metadata's dict payload is
+    # unhashable, which defeats Ray's schema dedup in unify_schemas and
+    # spams "Failed to hash the schemas" from every consuming stage
+    return ray.data.read_parquet(path, schema=pq.read_schema(path).remove_metadata())
 
 
 # ---------------------------------------------------------------------------

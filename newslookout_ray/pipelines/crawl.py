@@ -57,7 +57,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.urlkit import get_host, host_arrow, url_hash64, url_hash64_batch
-from ..util import collect_rows, collect_table
+from ..util import collect_rows, collect_table, table_from_pandas as _table_from_pandas
 from ..sources.pages import (
     KIND_ROBOTS,
     PagesSpec,
@@ -425,7 +425,7 @@ def make_bucketed_politeness(
         if tbl.num_rows == 0:
             return _empty_politeness_table()
         out = _politeness_pick_block(tbl.to_pandas(), budget, max_attempts)
-        return pa.Table.from_pandas(out[_POLITENESS_COLS], preserve_index=False)
+        return _table_from_pandas(out[_POLITENESS_COLS])
 
     return fn
 
@@ -1503,7 +1503,7 @@ class CrawlRun:
         out_dir = os.path.join(cfg.checkpoint_dir, "metrics", f"round={r}")
         os.makedirs(out_dir, exist_ok=True)
         pq.write_table(
-            pa.Table.from_pandas(rolled, preserve_index=False),
+            _table_from_pandas(rolled),
             os.path.join(out_dir, "part.parquet"),
         )
         if len(rolled):
@@ -1571,7 +1571,7 @@ def write_articles_csv(articles, out_dir: str):
         df["__fb"] = (
             pd.util.hash_array(df["url"].to_numpy(dtype=object)) % num_buckets
         ).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _table_from_pandas(df)
 
     def bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass per fb bucket (<= num_buckets Python calls

@@ -26,7 +26,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import collect_rows, collect_table, fb_buckets as _fb_buckets
+from ..util import (
+    collect_rows,
+    collect_table,
+    fb_buckets as _fb_buckets,
+    table_from_pandas as _table_from_pandas,
+)
 
 NGRAM = 3
 MINHASH_PERMS = 128
@@ -254,7 +259,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
             t = pa.table({"a": batch["doc_id_l"], "b": batch["doc_id_r"]})
             t = t.filter(pa.compute.less(t["a"], t["b"]))
             df = t.to_pandas().drop_duplicates(["a", "b"])
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return _table_from_pandas(df)
 
         cand = joined.map_batches(pair_filter, batch_format="pyarrow", batch_size=None)
 
@@ -316,7 +321,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
         )
         import ray.data as _rd
 
-        return _rd.from_arrow(pa.Table.from_pandas(verified, preserve_index=False))
+        return _rd.from_arrow(_table_from_pandas(verified))
     else:
         j1 = cand.join(
             texts,

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import fb_buckets as _fb_buckets
+from ..util import fb_buckets as _fb_buckets, table_from_pandas as _table_from_pandas
 
 
 def _cents(col) -> pa.Array:
@@ -64,7 +64,7 @@ def pricing_summary(lineitem, cutoff: str = "1998-09-01"):
             sum_disc_cents=("disc_c", "sum"),
             n_rows=("qty", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -95,7 +95,7 @@ def status_counts(events):
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"event_type": batch["event_type"].to_pylist()})
         g = df.groupby("event_type", as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -117,7 +117,7 @@ def user_value_sum(events):
             }
         )
         g = df.groupby("user_id", as_index=False).agg(value_cents=("value_c", "sum"), n=("value_c", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -147,7 +147,7 @@ def windowed_counts(events):
         g = df.groupby(["event_type", "window_start"], as_index=False).agg(
             n=("value_c", "size"), value_cents=("value_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -197,7 +197,7 @@ def region_customer_rollup(customer, nation, region):
         g = df.groupby("r_name", as_index=False).agg(
             customers=("bal_c", "size"), acctbal_cents=("bal_c", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -221,7 +221,7 @@ def priority_revenue(orders, lineitem, num_partitions: int = 8):
             {"l_orderkey": batch["l_orderkey"].to_numpy(), "rev_c": rev_c.to_numpy()}
         )
         g = df.groupby("l_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     from ray.data.aggregate import Sum
 
@@ -248,7 +248,7 @@ def priority_revenue(orders, lineitem, num_partitions: int = 8):
         g = df.groupby("o_orderpriority", as_index=False).agg(
             revenue_cents=("rev_c", "sum"), orders=("rev_c", "size")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _table_from_pandas(g)
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")

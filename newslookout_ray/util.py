@@ -41,6 +41,18 @@ def collect_table(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
+def table_from_pandas(df) -> pa.Table:
+    """``pa.Table.from_pandas`` without the ``b'pandas'`` schema metadata.
+
+    The metadata's dict payload defeats Ray's schema-hash dedup in
+    ``unify_schemas`` (pyarrow can't hash a schema whose metadata holds a
+    dict), spamming every downstream stage with "Failed to hash the
+    schemas" warnings and forcing the slow unify path. Stripping is
+    metadata-only (zero-copy) and the engine never round-trips through
+    the pandas metadata."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def fb_buckets(default_cpus: int = 16) -> int:
     """~2× cluster CPUs: enough shuffle parallelism, few enough that a
     per-bucket Python call count is O(cpus), not O(keys) — the crawl's
