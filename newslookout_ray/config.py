@@ -96,3 +96,26 @@ def load_config(path: str):
     enabled = read_enabled_plugins(path)
     profiles, unknown = resolve_profiles(enabled)
     return profiles, resolve_chain(enabled), unknown
+
+
+def decode_secret(encoded_text, key_value=None) -> str:
+    """decodeSecret parity (scraper_utils.py:164-174): base64-decode the
+    ascii-encoded secret; ``key_value`` is accepted and ignored exactly
+    as the reference ignores it; ANY failure (bad padding, non-ascii,
+    non-utf8 payload, None input) returns '' instead of raising."""
+    import base64
+
+    try:
+        return base64.b64decode(encoded_text.encode("ascii")).decode("utf-8")
+    except Exception:  # noqa: BLE001 — reference logs and returns ""
+        return ""
+
+
+def save_obj_to_json(json_file_name: str, obj_to_save: dict) -> None:
+    """saveObjToJSON parity (scraper_utils.py:177-187): json.dumps with
+    default separators, utf-8 text write; exceptions bubble up, as the
+    reference documents."""
+    import json
+
+    with open(json_file_name, "wt", encoding="utf-8") as fp:
+        fp.write(json.dumps(obj_to_save))

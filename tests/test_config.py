@@ -61,3 +61,39 @@ class TestResolve:
         """)
         _, chain, _ = cfg.load_config(path)
         assert [c[1] for c in chain] == ["dataprep"]  # no sentiment/dedup
+
+
+class TestScalarHelpers:
+    """§2.9 parity: decodeSecret / saveObjToJSON (scraper_utils.py:164-187)."""
+
+    def test_decode_secret_byte_parity(self):
+        import base64
+
+        for secret in ("hunter2", "p@ss wörd ✓", ""):
+            enc = base64.b64encode(secret.encode("utf-8")).decode("ascii")
+            # reference: encode('ascii') → b64decode → decode('utf-8')
+            want = base64.b64decode(enc.encode("ascii")).decode("utf-8")
+            assert cfg.decode_secret(enc, key_value="ignored") == want == secret
+
+    def test_decode_secret_failure_returns_empty(self):
+        # reference catches ALL errors and returns "" (logs, never raises)
+        assert cfg.decode_secret("not-base64!!!") == ""
+        assert cfg.decode_secret("café") == ""  # non-ascii input
+        assert cfg.decode_secret(None) == ""
+
+    def test_save_obj_to_json_byte_parity(self, tmp_path):
+        import json
+
+        obj = {"b": 2, "a": [1, "x", None], "nested": {"k": True}}
+        p = tmp_path / "out.json"
+        cfg.save_obj_to_json(str(p), obj)
+        # reference writes json.dumps(obj) with default separators, utf-8
+        assert p.read_text(encoding="utf-8") == json.dumps(obj)
+        assert json.loads(p.read_text()) == obj
+
+    def test_save_obj_to_json_raises(self, tmp_path):
+        # "lets it bubble up" — unserializable objects raise
+        import pytest as _pytest
+
+        with _pytest.raises(TypeError):
+            cfg.save_obj_to_json(str(tmp_path / "bad.json"), {"x": object()})
