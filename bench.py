@@ -227,9 +227,15 @@ def run_bench() -> dict:
     )
     # two actor stages in the chain: size each pool at ~cpus/3 so reads
     # and the final groupby keep CPUs (see run_processor_chain docstring)
-    # overlap is safe to opt into here: the bench corpus's article count
-    # (≤ a few M) is provably under marks_broadcast_limit (5M), so the
-    # duplicate-url set can never overflow the broadcast.
+    # overlap is only safe when the article count is provably under
+    # marks_broadcast_limit (the overlapped graph is wired before the
+    # marks size is known, so an overflow RAISES mid-pipeline instead of
+    # degrading); the crawl just ran, so gate on the REAL fetch count
+    # (articles ≤ fetches) instead of hardcoding True — an overridden
+    # BENCH_CRAWL_PAGES workload past the limit then takes the safe
+    # hash-join fallback path.
+    MARKS_BROADCAST_LIMIT = 5_000_000
+    overlap_ok = fetches < MARKS_BROADCAST_LIMIT
     # BENCH_ACTOR_STAGE=1 swaps the sentiment slot for the heavy-state
     # actor-pool variant (~100 MB built once per actor) — same outputs,
     # proves the autoscaling-pool path at bench scale.
@@ -240,7 +246,7 @@ def run_bench() -> dict:
         chain = ACTOR_CHAIN
     processed_rows = run_processor_chain(
         articles, chain=chain, concurrency=max(2, NUM_CPUS // 3),
-        overlap_marks=True
+        overlap_marks=overlap_ok
     ).count()
     timings["processor_chain"] = round(time.time() - t0, 3)
 

@@ -6,8 +6,12 @@ The reference imports the article through newspaper and takes
 (news_event.py:378-385); those keywords come from newspaper's public
 ``nlp.keywords`` routine: split words, drop stopwords, count term
 frequency, keep the top 10 by (count, word) descending. This module
-reproduces that public algorithm deterministically with no model or
-download dependency:
+follows that algorithm's STRUCTURE deterministically with no model or
+download dependency — but NOT its exact stopword inventory (see the
+last paragraph), so keyword SETS can differ from a real newspaper run
+on pages whose top terms include words only one of the two lists
+contains (e.g. 'also', 'one', 'would' are stopwords to newspaper's
+larger list but keywords candidates here):
 
   * ``split_words``: strip every char that is not ``\\w`` or space,
     split on whitespace, strip trailing dots, lowercase (newspaper

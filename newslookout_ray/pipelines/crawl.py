@@ -364,7 +364,11 @@ def _robots_bucket_map(robots_dir: str, fb: int) -> dict:
     # generation = the side table's root mtime: a second run_crawl() in
     # the same Ray session (shared checkpoint_dir, updated corpus)
     # rmtree+rewrites the table, and warm workers must not keep serving
-    # the previous corpus's rules (one stat per task — cheap)
+    # the previous corpus's rules (one stat per task — cheap).
+    # INVARIANT (see the _load_robots write site): the root mtime only
+    # changes because the writer ALWAYS rmtree+recreates the directory;
+    # an in-place rewrite of fb=N files would NOT bump the root mtime
+    # and warm workers would serve stale rules — never rewrite in place.
     try:
         gen = os.stat(robots_dir).st_mtime_ns
     except OSError:
@@ -614,6 +618,13 @@ def _cached_sel_map(sel_ref):
         # pd.Index built ONCE per worker probes each batch in one
         # C-level get_indexer pass.
         sel_index = pd.Index(cols["url"])
+        # get_indexer RAISES InvalidIndexError on a non-unique index; url
+        # uniqueness is guaranteed by _dedup_sort inside the politeness
+        # pick — assert the invariant here so a future politeness change
+        # fails with a clear message instead of a deep pandas error
+        assert sel_index.is_unique, (
+            "selected-url broadcast must be unique (politeness _dedup_sort invariant)"
+        )
         cached = (cols, sel_index)
         _BCAST_CACHE.clear()  # one live round at a time
         _BCAST_CACHE[key] = cached
@@ -1109,6 +1120,12 @@ class CrawlRun:
                 )
 
             robots_dir = os.path.join(cfg.checkpoint_dir, "robots")
+            # rmtree BEFORE rewrite is load-bearing, not just cleanup:
+            # _robots_bucket_map keys its per-worker cache generation on
+            # this directory's root mtime, which only changes because the
+            # directory is recreated here. Replacing this with an
+            # in-place rewrite of fb=N files would leave warm workers
+            # serving the previous corpus's robots rules.
             shutil.rmtree(robots_dir, ignore_errors=True)
             pages.map_batches(to_rows, batch_format="pyarrow").write_parquet(
                 robots_dir, partition_cols=["fb"]

@@ -731,10 +731,11 @@ def embedding_near_pairs_lsh(
         # variable list<double> (offsets arange·d) so empty blocks emit
         # the SAME schema — a fixed_size_list(d) block cannot unify with
         # an empty block whose d is unknowable
-        offsets = pa.array(
-            (np.arange(len(out_ids) + 1, dtype=np.int64) * d).astype(np.int32)
+        from ..util import list_offsets32
+
+        vec = pa.ListArray.from_arrays(
+            list_offsets32(len(out_ids), d), pa.array(flat, pa.float64())
         )
-        vec = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float64()))
         return pa.table(
             {
                 "bkt": pa.array(out_bkt, pa.int64()),

@@ -547,11 +547,11 @@ def make_featurize_for_dedup(embedding_col: str | None = None):
             # variable list<float> so an EMPTY block (whose dim is
             # unknowable for a variable-width embedding column) emits a
             # schema that unifies with the non-empty blocks'
-            offsets = pa.array(
-                (np.arange(len(texts) + 1, dtype=np.int64) * dim).astype(np.int32)
-            )
+            from ..util import list_offsets32
+
             vec_col = pa.ListArray.from_arrays(
-                offsets, pa.array(vecs.reshape(-1), pa.float32())
+                list_offsets32(len(texts), dim),
+                pa.array(vecs.reshape(-1), pa.float32()),
             )
         return pa.table(
             {

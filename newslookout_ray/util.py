@@ -53,6 +53,23 @@ def table_from_pandas(df) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def list_offsets32(n_rows: int, dim: int) -> pa.Array:
+    """int32 ``ListArray`` offsets for ``n_rows`` fixed-``dim`` rows with
+    an explicit overflow check: a bare ``astype(np.int32)`` on rows×dim
+    past 2^31 silently wraps and corrupts the list array. Blocks that
+    large must be split upstream (smaller batch_size), so raise loudly
+    instead."""
+    import numpy as np
+
+    total = n_rows * dim
+    if total > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"list offsets overflow int32: {n_rows} rows x dim {dim} = {total}"
+            " values; reduce the stage's batch_size"
+        )
+    return pa.array((np.arange(n_rows + 1, dtype=np.int64) * dim).astype(np.int32))
+
+
 def fb_buckets(default_cpus: int = 16) -> int:
     """~2× cluster CPUs: enough shuffle parallelism, few enough that a
     per-bucket Python call count is O(cpus), not O(keys) — the crawl's
