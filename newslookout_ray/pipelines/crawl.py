@@ -1547,6 +1547,43 @@ def read_articles(checkpoint_dir: str) -> pa.Table:
     return dataset.to_table(filter=pads.field("state") == STATE_ARTICLE)
 
 
+def read_metrics(checkpoint_dir: str):
+    """A3 operational view (the reference's StatusAPIServer /status
+    analogue, worker.py:1256-1573, minus the HTTP server): the
+    per-(partition, host-rollup) crawl metrics as a ray Dataset —
+    columns (partition, host_count, fetched, errors_permanent,
+    articles_out, bytes_html, round, wall_ms). One row per url-hash
+    partition per round; sum across partitions for per-round totals.
+    Explicit file list (like read_articles) so the round=N directory
+    name is not re-injected as a duplicate hive column."""
+    import glob
+
+    import ray.data
+
+    files = sorted(
+        glob.glob(os.path.join(checkpoint_dir, "metrics", "round=*", "*.parquet"))
+    )
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)
+
+
+def read_round_manifests(checkpoint_dir: str) -> list:
+    """Round manifests (selected / articles / errors / wall_sec /
+    stage_sec) in round order — the crawl's driver-side lineage."""
+    import glob
+    import json
+
+    out = []
+    for p in sorted(
+        glob.glob(os.path.join(checkpoint_dir, "manifest", "round=*.json")),
+        key=lambda p: int(p.rsplit("=", 1)[1].split(".")[0]),
+    ):
+        with open(p, encoding="utf-8") as fp:
+            out.append(json.load(fp))
+    return out
+
+
 def write_articles_csv(articles, out_dir: str):
     """S12 (mod_json_to_csv.py:113-130 — a TODO stub in the reference;
     its docstring states the intent: per-date CSV rows of every event

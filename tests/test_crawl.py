@@ -300,6 +300,39 @@ class TestCsvSink:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestStatusView:
+    def test_read_metrics_and_status(self, corpus, tmp_path):
+        """A3 operational surface: read_metrics Dataset + manifest tail
+        (scripts/status.py) agree with the crawl summary."""
+        import sys
+
+        from newslookout_ray.pipelines.crawl import (
+            read_metrics,
+            read_round_manifests,
+            run_crawl,
+        )
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "status_run"))
+        summary = run_crawl(pages, SPEC, cfg)
+
+        m = read_metrics(cfg.checkpoint_dir).to_pandas()
+        assert {"partition", "fetched", "articles_out", "round"} <= set(m.columns)
+        total_selected = sum(r["selected"] for r in summary["rounds"])
+        assert int(m["fetched"].sum()) == total_selected
+
+        manifests = read_round_manifests(cfg.checkpoint_dir)
+        assert [mm["round"] for mm in manifests] == list(range(len(manifests)))
+        assert sum(mm["selected"] for mm in manifests) == total_selected
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        import status as status_mod
+
+        text = status_mod.render(cfg.checkpoint_dir, with_metrics=True)
+        assert f"selected={total_selected}" in text and "TOTAL" in text
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSolrSink:
     def test_write_solr_payloads(self, corpus, tmp_path):
         """S13: index-payload export — one JSON doc per article with
