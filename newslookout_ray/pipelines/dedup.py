@@ -20,8 +20,6 @@ oracle and within LSH buckets at scale.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -129,7 +127,18 @@ def exact_dedup(docs):
 
 class MinHashStage:
     """doc → 128-perm MinHash signature (universal-hash permutations with
-    fixed seeds, so signatures are deterministic across runs/processes)."""
+    fixed seeds, so signatures are deterministic across runs/processes).
+
+    The batch path computes signatures for ALL docs in slab-bounded
+    vectorized passes: one cythonized hash pass over every shingle in
+    the slab, one broadcast (perms × shingles) permutation product, and
+    one ``np.minimum.reduceat`` segment-min per slab — the per-doc
+    Python is only the shingling itself. Min over shingles is
+    order-independent, so the slab path is value-identical to the
+    original per-doc formulation."""
+
+    #: max perms × shingles uint64 cells per vectorized slab (~32 MB)
+    _SLAB_CELLS = 1 << 22
 
     def __init__(self, perms: int = MINHASH_PERMS, ngram: int = NGRAM):
         rng = np.random.RandomState(0xC0FFEE)
@@ -138,45 +147,120 @@ class MinHashStage:
         self.perms = perms
         self.ngram = ngram
 
+    def signatures(self, texts) -> np.ndarray:
+        """(n, perms) uint64 signature matrix, slab-vectorized."""
+        n = len(texts)
+        out = np.full((n, self.perms), _MERSENNE, dtype=np.uint64)
+        sh_lists = [list(word_shingles(t, self.ngram)) for t in texts]
+        lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+        nonempty = np.flatnonzero(lens)
+        max_sh = self._SLAB_CELLS // self.perms
+        i = 0
+        while i < len(nonempty):
+            # greedily extend the slab until its shingle total hits budget
+            j, m = i, 0
+            while j < len(nonempty) and (m == 0 or m + lens[nonempty[j]] <= max_sh):
+                m += int(lens[nonempty[j]])
+                j += 1
+            idx = nonempty[i:j]
+            flat = np.concatenate(
+                [np.array(sh_lists[k], dtype=object) for k in idx]
+            )
+            # stable default hash key, folded below 2^32 so a*x+b stays
+            # within uint64 headroom
+            base = pd.util.hash_array(flat) >> np.uint64(32)
+            prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(
+                _MERSENNE
+            )
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(lens[idx][:-1], out=starts[1:])
+            out[idx] = np.minimum.reduceat(prod, starts, axis=1).T
+            i = j
+        return out
+
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.ngram)
-        if not sh:
-            return np.full(self.perms, _MERSENNE, dtype=np.uint64)
-        # one cythonized hash pass over the doc's shingles (stable default
-        # key), folded below 2^32 so a*x+b stays within uint64 headroom
-        base = pd.util.hash_array(np.array(list(sh), dtype=object)) >> np.uint64(32)
-        # (a*x + b) mod p for each perm × shingle, min over shingles
-        prod = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return prod.min(axis=1)
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        sigs = self.signatures(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64(), MINHASH_PERMS)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), pa.uint64()), self.perms
+                ),
             }
         )
 
 
+#: process-level stage cache (the crawl/chain pattern): MinHash runs as
+#: STATELESS tasks on the warm worker pool — the permutation constants
+#: build once per worker process, no actor pool to spawn per query
+_MINHASH_STAGE: MinHashStage | None = None
+
+
+def minhash_signature_stage(batch: pa.Table) -> pa.Table:
+    global _MINHASH_STAGE
+    if _MINHASH_STAGE is None:
+        _MINHASH_STAGE = MinHashStage()
+    return _MINHASH_STAGE(batch)
+
+
+#: odd 64-bit lane constants + a murmur-style finalizer for the band-key
+#: fold. Equal band slices ALWAYS map to equal keys (determinism), so
+#: LSH recall is unchanged; unequal slices colliding (~2^-64) only add a
+#: candidate that the exact-Jaccard verify rejects — output-invariant.
+_BAND_LANE_CACHE: dict = {}
+
+
+def _band_lane_c(rows: int) -> np.ndarray:
+    c = _BAND_LANE_CACHE.get(rows)
+    if c is None:
+        rng = np.random.RandomState(0xBA2D)
+        c = (
+            rng.randint(0, np.iinfo(np.int64).max, size=rows, dtype=np.int64).astype(
+                np.uint64
+            )
+            | np.uint64(1)  # odd multipliers
+        )
+        _BAND_LANE_CACHE[rows] = c
+    return c
+
+
 def _band_rows(batch: pa.Table, bands: int = LSH_BANDS) -> pa.Table:
     """Explode signatures to (band, band_key, doc_id) rows for the LSH
-    groupby — band_key is a stable hash of the band's signature slice."""
-    doc_ids, band_ids, band_keys = [], [], []
+    groupby — band_key is a stable hash of the band's signature slice,
+    computed for the whole batch in one vectorized fold (lane linear
+    combination + xor-shift finalizer + band-salt), no per-doc Python."""
+    n = batch.num_rows
     rows = MINHASH_PERMS // bands
-    for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        arr = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = arr[b * rows : (b + 1) * rows]
-            key = zlib.crc32(chunk.tobytes()) | (b << 32)
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_keys.append(key)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "band_key": pa.array([], pa.int64()),
+            }
+        )
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch["sig"].combine_chunks()
+    mat = col.flatten().to_numpy(zero_copy_only=False).reshape(n, MINHASH_PERMS)
+    sl = mat.reshape(n, bands, rows)
+    with np.errstate(over="ignore"):  # wrapping uint64 arithmetic is the point
+        mix = (sl * _band_lane_c(rows)[None, None, :]).sum(axis=2, dtype=np.uint64)
+        mix ^= mix >> np.uint64(33)
+        mix *= np.uint64(0xFF51AFD7ED558CCD)
+        mix ^= mix >> np.uint64(29)
+        mix ^= (np.arange(bands, dtype=np.uint64) + np.uint64(1))[None, :] * np.uint64(
+            0x9E3779B97F4A7C15
+        )
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band": pa.array(band_ids, pa.int32()),
-            "band_key": pa.array(band_keys, pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_key": pa.array(mix.reshape(-1).view(np.int64), pa.int64()),
         }
     )
 
@@ -189,7 +273,9 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
     # (observed live at 4 cpus with min 2+2).
     """Near-duplicate pairs (a<b, jaccard>=threshold) via MinHash+LSH.
 
-    shingle→minhash (actor stage) → band explode → band-key SELF-JOIN
+    shingle→minhash (stateless slab-vectorized tasks, permutation
+    constants cached per worker process) → band explode → band-key
+    SELF-JOIN
     (the within-bucket pair generation as one vectorized hash join — no
     per-bucket Python, singleton buckets cost one self-row filtered out)
     → per-block pair dedup → exact Jaccard verify against the texts
@@ -197,7 +283,7 @@ def minhash_lsh_pairs(docs, threshold: float = 0.8, concurrency=(1, 8),
     """
     import ray
 
-    sigs = docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=concurrency)
+    sigs = docs.map_batches(minhash_signature_stage, batch_format="pyarrow")
     bands_ds = sigs.map_batches(_band_rows, batch_format="pyarrow").select_columns(
         ["doc_id", "band_key"]
     )
@@ -428,10 +514,15 @@ class SimHashStage:
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.uint64())})
 
 
-def simhash_table(docs, concurrency: int = 2):
-    # batch_size bounds the per-batch (n_tokens, 64) bit matrix
+_SIMHASH_STAGE = SimHashStage()  # stateless (class constant only)
+
+
+def simhash_table(docs, concurrency=None):
+    """Stateless-task simhash; ``concurrency`` kept for API compat
+    (unused — no actor pool to size). batch_size bounds the per-batch
+    (n_tokens, 64) bit matrix."""
     return docs.map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=concurrency, batch_size=1024
+        _SIMHASH_STAGE, batch_format="pyarrow", batch_size=1024
     )
 
 
