@@ -128,6 +128,24 @@ def _q_fingerprint(sf):
     return textstats.run_fingerprint(_read(sf, "documents").select_columns(["doc_id", "text"]))
 
 
+def _q_pii_redact(sf):
+    return textstats.run_pii_redact(
+        _read(sf, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+def _q_repetition(sf):
+    return textstats.run_repetition(
+        _read(sf, "documents").select_columns(["doc_id", "text"])
+    )
+
+
+def _q_term_topk(sf):
+    return textstats.term_topk(
+        _read(sf, "documents").select_columns(["text"]), k=50
+    )
+
+
 def _q_clean_text(sf):
     def stage(batch: pa.Table) -> pa.Table:
         cleaned = textkit.clean_text_arrow(batch["text"].combine_chunks())
@@ -615,6 +633,9 @@ QUERIES = {
     "lang_id": _q_lang_id,
     "fingerprint": _q_fingerprint,
     "clean_text": _q_clean_text,
+    "pii_redact": _q_pii_redact,
+    "repetition": _q_repetition,
+    "term_topk": _q_term_topk,
     "keyword_flags": _q_keyword_flags,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -695,6 +716,39 @@ def _oracle_sql() -> dict:
         FROM documents
     """
     sql["keyword_flags"] = _keyword_flags_sql()
+    pii_count_cols = ", ".join(
+        f"len(regexp_extract_all(text, {_sql_quote(pat)}))::BIGINT AS n_{name}"
+        for name, pat, _ in textstats.PII_PATTERNS
+    )
+    pii_expr = "text"
+    for _, pat, repl in textstats.PII_PATTERNS:
+        pii_expr = (
+            f"regexp_replace({pii_expr}, {_sql_quote(pat)}, {_sql_quote(repl)}, 'g')"
+        )
+    sql["pii_redact"] = f"""
+        SELECT doc_id, {pii_count_cols}, {pii_expr} AS redacted FROM documents
+    """
+    sql["repetition"] = """
+        WITH g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(len(toks)-2),
+                                     i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                 ELSE [] END AS ng
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        SELECT doc_id, len(ng)::BIGINT AS n_ngrams,
+          len(list_distinct(ng))::BIGINT AS n_distinct,
+          CASE WHEN len(ng) = 0 THEN 0
+               ELSE (len(ng) - len(list_distinct(ng))) * 1000000 // len(ng)
+          END::BIGINT AS dup_ppm
+        FROM g
+    """
+    sql["term_topk"] = """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        c AS (SELECT term, count(*)::BIGINT AS n FROM t WHERE term <> '' GROUP BY term),
+        r AS (SELECT row_number() OVER (ORDER BY n DESC, term ASC) AS rank, term, n FROM c)
+        SELECT rank::BIGINT AS rank, term, n FROM r WHERE rank <= 50
+    """
     sql["dedup_exact"] = """
         SELECT min(doc_id) AS keeper_id, count(*)::BIGINT AS n_dups
         FROM documents GROUP BY text

@@ -194,6 +194,181 @@ def fingerprint_stage(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())})
 
 
+#: PII redaction inventory: (name, RE2 pattern, replacement), applied in
+#: order. Both Arrow's replace_substring_regex and DuckDB's regexp_replace
+#: are RE2, and the oracle SQL is GENERATED from this same tuple, so the
+#: two sides cannot drift. Patterns are deliberately conservative (no
+#: whitespace inside the phone class — a run of space-separated numbers in
+#: prose is not a phone number). Counts are measured on the ORIGINAL text;
+#: replacements apply sequentially (email first so phone cannot eat the
+#: digits of an address's local part, IP before phone for dotted quads).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d[\d().\-]{6,}\d\b", "<PHONE>"),
+)
+
+
+def _utf8_col(batch: pa.Table, name: str) -> pa.Array:
+    """Column as a non-null utf8 array. The cast covers the null-typed
+    column an all-None ``from_items`` block infers; parquet inputs are
+    already utf8 and the cast is then a no-op."""
+    col = batch[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
+    return pc.fill_null(col, "")
+
+
+def pii_redact_stage(batch: pa.Table) -> pa.Table:
+    """PII scrub (training-data hygiene op): per-pattern match counts over
+    the original text + the sequentially redacted text. One RE2 count pass
+    and one RE2 replace pass per pattern over the whole batch column — no
+    per-row Python."""
+    text = _utf8_col(batch, "text")
+    cols: dict = {"doc_id": batch["doc_id"]}
+    for name, pat, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, repl)
+    cols["redacted"] = red
+    return pa.table(cols)
+
+
+def repetition_stage(batch: pa.Table) -> pa.Table:
+    """Within-document repeated-3-gram fraction (the Gopher-style
+    repetition quality signal): n_ngrams, n_distinct, and
+    dup_ppm = floor((n_ngrams - n_distinct) * 1e6 / n_ngrams).
+
+    Vectorized: one split over the batch, three ``pc.take`` gathers + one
+    ``binary_join_element_wise`` build every 3-gram string, one pandas
+    ``factorize`` (C-level exact string interning — no hash-collision
+    risk vs the SQL oracle's exact list_distinct), and one ``np.unique``
+    over (doc, code) keys for the per-doc distinct counts."""
+    n = batch.num_rows
+    empty = pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ngrams": pa.array([0] * n, pa.int64()),
+            "n_distinct": pa.array([0] * n, pa.int64()),
+            "dup_ppm": pa.array([0] * n, pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    toks = pc.split_pattern(_utf8_col(batch, "text"), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    values = pc.list_flatten(toks)
+    ng_counts = np.maximum(lens - 2, 0)
+    total = int(ng_counts.sum())
+    if total == 0:
+        return empty
+    tok_starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=tok_starts[1:])
+    nz = np.flatnonzero(ng_counts > 0)
+    cnt = ng_counts[nz]
+    ng_starts = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(cnt[:-1], out=ng_starts[1:])
+    # global token index of each 3-gram's first token (never crosses a doc)
+    idx0 = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ng_starts, cnt)
+        + np.repeat(tok_starts[nz], cnt)
+    )
+    grams = pc.binary_join_element_wise(
+        pc.take(values, pa.array(idx0)),
+        pc.take(values, pa.array(idx0 + 1)),
+        pc.take(values, pa.array(idx0 + 2)),
+        " ",
+    )
+    codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+    ncodes = np.int64(len(uniques))
+    doc_idx = np.repeat(np.arange(len(nz), dtype=np.int64), cnt)
+    # (doc, code) → one key; len(nz)·ncodes ≤ total² per batch ≪ 2^63
+    uniq_keys = np.unique(doc_idx * ncodes + codes)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    n_distinct[nz] = np.bincount(
+        (uniq_keys // ncodes).astype(np.int64), minlength=len(nz)
+    )
+    dup_ppm = np.where(
+        ng_counts > 0,
+        (ng_counts - n_distinct) * 1_000_000 // np.maximum(ng_counts, 1),
+        0,
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ngrams": pa.array(ng_counts, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_ppm": pa.array(dup_ppm.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _term_partial_counts(batch: pa.Table) -> pa.Table:
+    """Combiner for term_topk: per-batch term counts (one split, one
+    np.unique) so the global groupby shuffles VOCABULARY-sized partials,
+    not one row per token occurrence."""
+    toks = pc.split_pattern(_utf8_col(batch, "text"), " ")
+    values = pc.list_flatten(toks)
+    values = values.filter(pc.not_equal(values, ""))
+    if len(values) == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    uniq, counts = np.unique(values.to_numpy(zero_copy_only=False), return_counts=True)
+    return pa.table(
+        {
+            "term": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def term_topk(docs, k: int = 50):
+    """Corpus-wide top-k term frequencies, ranked (n desc, term asc).
+
+    Shape: per-batch partial counts (combiner) → groupby-term sum over
+    vocabulary-sized partials → per-block partial top-k → driver merge of
+    ≤ k×blocks rows. At 100 TB the only all-to-all is over the distinct
+    vocabulary (× #blocks partials), never the token stream."""
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.select_columns(["text"])
+        .map_batches(_term_partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "term"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partials = agg.map_batches(topk_block, batch_format="pandas").to_pandas()
+    out = (
+        partials.sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "term", "n"]]
+
+
+def run_pii_redact(docs):
+    return docs.map_batches(pii_redact_stage, batch_format="pyarrow")
+
+
+def run_repetition(docs):
+    return docs.map_batches(repetition_stage, batch_format="pyarrow")
+
+
 def run_token_count(docs):
     return docs.map_batches(token_count_stage, batch_format="pyarrow")
 
