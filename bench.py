@@ -149,6 +149,9 @@ def run_bench() -> dict:
         "ann_topk",
         "dedup_embedding_lsh",
         "clean_text",
+        "pii_redact",
+        "repetition",
+        "term_topk",
     ]
     q = api.queries()
     for name in bench_queries:

@@ -146,6 +146,12 @@ def _q_term_topk(sf):
     )
 
 
+def _q_boilerplate(sf):
+    return textstats.boilerplate_ngrams(
+        _read(sf, "documents").select_columns(["doc_id", "text"]), n=5, min_df=2
+    )
+
+
 def _q_clean_text(sf):
     def stage(batch: pa.Table) -> pa.Table:
         cleaned = textkit.clean_text_arrow(batch["text"].combine_chunks())
@@ -636,6 +642,7 @@ QUERIES = {
     "pii_redact": _q_pii_redact,
     "repetition": _q_repetition,
     "term_topk": _q_term_topk,
+    "boilerplate_ngrams": _q_boilerplate,
     "keyword_flags": _q_keyword_flags,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -742,6 +749,24 @@ def _oracle_sql() -> dict:
                ELSE (len(ng) - len(list_distinct(ng))) * 1000000 // len(ng)
           END::BIGINT AS dup_ppm
         FROM g
+    """
+    sql["boilerplate_ngrams"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 5
+                  THEN list_transform(range(len(toks)-4),
+                       i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                            || ' ' || toks[i+4] || ' ' || toks[i+5])
+                  ELSE [] END) AS ng
+              FROM t),
+        p AS (SELECT doc_id, unnest(ng) AS gram FROM g),
+        df AS (SELECT gram, count(*)::BIGINT AS df FROM p GROUP BY gram),
+        j AS (SELECT p.doc_id, count(*)::BIGINT AS n_distinct,
+                     sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+              FROM p JOIN df USING (gram) GROUP BY p.doc_id)
+        SELECT doc_id, n_distinct, n_boiler,
+               (n_boiler * 1000000 // n_distinct)::BIGINT AS boiler_ppm
+        FROM j
     """
     sql["term_topk"] = """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),

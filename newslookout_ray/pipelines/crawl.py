@@ -1172,6 +1172,9 @@ class CrawlRun:
             ds.write_parquet(path, partition_cols=["fb"])
         else:
             ds.write_parquet(path)
+        # the executed handle (not the caller's pre-derivation one) is
+        # what carries stats() after the write — kept for CRAWL_STAGE_STATS
+        self._last_written = ds
 
     def _read_frontier(self, r: int):
         import ray.data
@@ -1433,7 +1436,7 @@ class CrawlRun:
 
             print(
                 f"\n===== round {r} fetch_extract_sink stats =====\n"
-                + next_frontier.stats(),
+                + getattr(self, "_last_written", next_frontier).stats(),
                 file=_sys.stderr,
             )
         _mark("fetch_extract_sink")

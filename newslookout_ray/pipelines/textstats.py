@@ -18,6 +18,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import table_from_pandas as _table_from_pandas
+
+#: per-worker cache for boilerplate_ngrams' broadcast hot-gram index
+_HOT_GRAM_CACHE: dict = {}
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
 #: symbols (RE2-compatible — shared with the oracle SQL).
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -359,6 +364,171 @@ def term_topk(docs, k: int = 50):
     )
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out[["rank", "term", "n"]]
+
+
+def _distinct_gram_pairs_stage(n: int):
+    """Per-batch (doc_id, gram) DISTINCT pairs for n-token grams —
+    the combiner feeding the corpus-wide doc-frequency groupby. Same
+    vectorized build as repetition_stage (takes + join + factorize);
+    distinctness within a doc comes from the (doc, code) np.unique."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "gram": pa.array([], pa.string())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(_utf8_col(batch, "text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        values = pc.list_flatten(toks)
+        ng_counts = np.maximum(lens - (n - 1), 0)
+        total = int(ng_counts.sum())
+        if total == 0:
+            return empty
+        tok_starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=tok_starts[1:])
+        nz = np.flatnonzero(ng_counts > 0)
+        cnt = ng_counts[nz]
+        ng_starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=ng_starts[1:])
+        idx0 = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(ng_starts, cnt)
+            + np.repeat(tok_starts[nz], cnt)
+        )
+        grams = pc.binary_join_element_wise(
+            *(pc.take(values, pa.array(idx0 + j)) for j in range(n)), " "
+        )
+        codes, uniques = pd.factorize(grams.to_numpy(zero_copy_only=False))
+        ncodes = np.int64(len(uniques))
+        doc_pos = np.repeat(np.arange(len(nz), dtype=np.int64), cnt)
+        uniq_keys = np.unique(doc_pos * ncodes + codes)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[nz]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[uniq_keys // ncodes], pa.int64()),
+                "gram": pa.array(uniques[uniq_keys % ncodes].tolist(), pa.string()),
+            }
+        )
+
+    return stage
+
+
+def boilerplate_ngrams(docs, n: int = 5, min_df: int = 2, broadcast_limit: int = 200_000):
+    """Cross-document boilerplate n-gram marking (CCNet-style): for each
+    doc, how many of its DISTINCT n-grams occur in ≥ ``min_df`` docs
+    corpus-wide. → doc_id, n_distinct, n_boiler, boiler_ppm (docs with
+    zero n-grams are dropped, matching the oracle's join semantics).
+
+    Shape: distinct (doc, gram) pairs per batch (combiner) → groupby-gram
+    doc-frequency over per-batch partials → hot-gram set, then
+    threshold-switched join-back: hot grams under ``broadcast_limit``
+    are broadcast (``ray.put`` + one is_in probe per batch — boilerplate
+    is rare, so this is the common case); past the limit a distributed
+    LEFT OUTER ``Dataset.join`` on gram does the same annotation with no
+    driver-side state. Tests force both paths."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _distinct_gram_pairs_stage(n), batch_format="pyarrow"
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # pairs are distinct per doc and docs never span input batches,
+        # but partial counts sum correctly even if they did not collide
+        g = (
+            pd.DataFrame({"gram": batch["gram"].to_pylist()})
+            .groupby("gram", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        return _table_from_pandas(g)
+
+    df_t = (
+        pairs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    hot = df_t.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], min_df)), batch_format="pyarrow"
+    )
+
+    def totals(annotated):
+        def partial(batch: pa.Table) -> pa.Table:
+            g = (
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                        "hit": batch["hit"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    }
+                )
+                .groupby("doc_id", as_index=False)
+                .agg(n_distinct=("hit", "size"), n_boiler=("hit", "sum"))
+            )
+            return _table_from_pandas(g)
+
+        agg = (
+            annotated.map_batches(partial, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(
+                Sum("n_distinct", alias_name="n_distinct"),
+                Sum("n_boiler", alias_name="n_boiler"),
+            )
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            nd = pc.cast(batch["n_distinct"], pa.int64())
+            nb = pc.cast(batch["n_boiler"], pa.int64())
+            # int64 divide == floor for nonnegatives; nb·1e6 ≪ 2^63
+            ppm = pc.divide(pc.multiply(nb, 1_000_000), nd)
+            return pa.table(
+                {"doc_id": batch["doc_id"], "n_distinct": nd, "n_boiler": nb,
+                 "boiler_ppm": ppm}
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    probe = hot.limit(broadcast_limit + 1).take_all()
+    if len(probe) <= broadcast_limit:
+        ref = ray.put(np.asarray(sorted(r["gram"] for r in probe), dtype=object))
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            # per-worker cached hash index over the broadcast hot set —
+            # one get_indexer probe per batch, no per-batch hash-table
+            # build (the _cached_sel_map lesson, crawl.py)
+            key = ref.hex() if hasattr(ref, "hex") else id(ref)
+            idx = _HOT_GRAM_CACHE.get(key)
+            if idx is None:
+                _HOT_GRAM_CACHE.clear()
+                idx = pd.Index(ray.get(ref))
+                _HOT_GRAM_CACHE[key] = idx
+            pos = idx.get_indexer(
+                np.asarray(batch["gram"].to_pylist(), dtype=object)
+            )
+            return pa.table(
+                {"doc_id": batch["doc_id"], "hit": pa.array(pos >= 0)}
+            )
+
+        return totals(pairs.map_batches(annotate, batch_format="pyarrow"))
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        return t.append_column("hot", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    joined = pairs.join(
+        hot.map_batches(add_flag, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=16,
+        on=("gram",),
+    )
+
+    def to_hit(batch: pa.Table) -> pa.Table:
+        hit = pc.is_valid(batch["hot"])
+        return pa.table({"doc_id": batch["doc_id"], "hit": hit})
+
+    return totals(joined.map_batches(to_hit, batch_format="pyarrow"))
 
 
 def run_pii_redact(docs):

@@ -188,3 +188,60 @@ class TestTermTopk:
         assert list(got["term"]) == [t for t, _ in want]
         assert list(got["n"]) == [n for _, n in want]
         assert list(got["rank"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBoilerplateNgrams:
+    TEXTS = [
+        "all rights reserved contact us today " + "alpha beta gamma delta epsilon",
+        "all rights reserved contact us today " + "zeta eta theta iota kappa",
+        "completely unique words nothing shared here at all ever once",
+        "tiny",  # <5 tokens -> dropped (no grams)
+    ]
+
+    def _python_truth(self, texts, n=5, min_df=2):
+        import collections
+
+        per_doc = []
+        for t in texts:
+            toks = t.split(" ")
+            grams = {
+                " ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))
+            }
+            per_doc.append(grams)
+        df = collections.Counter(g for grams in per_doc for g in grams)
+        out = {}
+        for i, grams in enumerate(per_doc):
+            if not grams:
+                continue
+            nb = sum(1 for g in grams if df[g] >= min_df)
+            out[i] = (len(grams), nb, nb * 1_000_000 // len(grams))
+        return out
+
+    def _check(self, got):
+        want = self._python_truth(self.TEXTS)
+        got = got.to_pandas().set_index("doc_id").sort_index()
+        assert set(got.index) == set(want)
+        for i, (nd, nb, ppm) in want.items():
+            assert got.loc[i, "n_distinct"] == nd
+            assert got.loc[i, "n_boiler"] == nb
+            assert got.loc[i, "boiler_ppm"] == ppm
+
+    def _ds(self):
+        import ray.data
+
+        return ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(self.TEXTS)]
+        )
+
+    def test_broadcast_path(self):
+        from newslookout_ray.pipelines import textstats as ts
+
+        self._check(ts.boilerplate_ngrams(self._ds(), n=5, min_df=2))
+
+    def test_join_path_matches(self):
+        from newslookout_ray.pipelines import textstats as ts
+
+        self._check(
+            ts.boilerplate_ngrams(self._ds(), n=5, min_df=2, broadcast_limit=0)
+        )
