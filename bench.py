@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "pii_redact",
         "repetition",
         "term_topk",
+        "boilerplate_ngrams",
     ]
     q = api.queries()
     for name in bench_queries:

@@ -65,8 +65,10 @@ def split_words(text: str) -> list:
     whitespace-split, strip trailing/leading dots, lowercase."""
     if not text:
         return []
-    cleaned = _NON_WORD.sub("", text)
-    return [w.strip(".").lower() for w in cleaned.split()]
+    # lowercase the whole string once (C pass) instead of per word;
+    # strip('.') commutes with lower() so the output is unchanged
+    cleaned = _NON_WORD.sub("", text).lower()
+    return [w.strip(".") for w in cleaned.split()]
 
 
 def keyword_scores(text: str, num_keywords: int = NUM_KEYWORDS) -> dict:
