@@ -600,6 +600,17 @@ def _q_ivf_ann_topk(sf):
     return similarity.ivf_topk(_read(sf, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
 
 
+def _q_ivf_ann_topk_indexed(sf):
+    """ANN scale path #3: the MATERIALIZED IVF index — assignment written
+    as a hive partition column, probe-pruned read (only the probed
+    list_id directories are scanned). Output equals ivf_topk with the
+    same params (test-asserted); approximate by design → rows-only."""
+    tag = os.path.basename(os.path.normpath(sf))
+    path = f"/tmp/newslookout_ray/ivf_index_{tag}"
+    similarity.ivf_build_index(_read(sf, "embeddings"), path)
+    return similarity.ivf_topk_indexed(path, ANN_QUERY_IDS, k=ANN_K)
+
+
 def _q_simhash_pairs(sf):
     """SimHash near-dup pairs (banded blocking + exact hamming verify)."""
     return dedup.simhash_near_pairs(
@@ -672,6 +683,7 @@ QUERIES = {
     "aggregator_route": _q_aggregator_route,
     "lsh_ann_topk": _q_lsh_ann_topk,
     "ivf_ann_topk": _q_ivf_ann_topk,
+    "ivf_ann_topk_indexed": _q_ivf_ann_topk_indexed,
     "simhash_pairs": _q_simhash_pairs,
     "media_features": _q_media_features,
     "processed_articles": _q_processed_articles,

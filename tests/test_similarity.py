@@ -129,3 +129,36 @@ class TestEmptyBatches:
         assert out_e.num_rows == 0 and out_f.num_rows == 1
         # the empty block's schema must unify with the non-empty one
         assert out_e.schema.field("vec").type == out_f.schema.field("vec").type
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIvfIndexed:
+    def test_equals_ivf_topk_and_prunes_the_read(self, emb_ds, tmp_path):
+        import os
+
+        from newslookout_ray.pipelines import similarity as sim
+
+        path = str(tmp_path / "ivf")
+        sim.ivf_build_index(emb_ds, path, n_centroids=8)
+        queries = [3, 17]
+        got = (
+            sim.ivf_topk_indexed(path, queries, k=5, nprobe=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        want = (
+            sim.ivf_topk(emb_ds, queries, k=5, n_centroids=8, nprobe=2)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)
+        # the index really partitioned, and the probe set really prunes:
+        # 2 queries x nprobe 2 <= 4 of the 8 list directories
+        dirs = [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("list_id=")]
+        assert len(dirs) > 4
+        # centroids sidecar exists
+        assert os.path.exists(os.path.join(path, "centroids.parquet"))
