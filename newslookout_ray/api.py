@@ -202,6 +202,17 @@ def _q_minhash_lsh(sf):
     )
 
 
+def _q_dup_clusters(sf):
+    """Duplicate clustering: connected components (min-label propagation)
+    over the MinHash-LSH near-dup pairs — each clustered doc mapped to
+    its component's minimum id."""
+    pairs = dedup.minhash_lsh_pairs(
+        _read(sf, "documents").select_columns(["doc_id", "text"]),
+        threshold=JACCARD_THRESHOLD,
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
 def _q_simhash(sf):
     return dedup.simhash_table(_read(sf, "documents").select_columns(["doc_id", "text"]))
 
@@ -659,6 +670,7 @@ QUERIES = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_lsh": _q_minhash_lsh,
     "dedup_simhash": _q_simhash,
+    "dup_clusters": _q_dup_clusters,
     "dedup_embedding": _q_embedding_near,
     "dedup_embedding_lsh": _q_embedding_near_lsh,
     "ann_topk": _q_ann_topk,
@@ -800,6 +812,21 @@ def _oracle_sql() -> dict:
               / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
     """
     sql["dedup_minhash_lsh"] = sql["dedup_ngram_jaccard"]  # LSH must find the same pairs here
+    sql["dup_clusters"] = f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        e AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM s a JOIN s b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}),
+        und AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        reach(u, v) AS (
+          SELECT u, v FROM und
+          UNION
+          SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u)
+        SELECT u AS doc_id, least(u, min(v))::BIGINT AS cluster_id
+        FROM reach GROUP BY u
+    """
     sql["dedup_embedding"] = f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS a, b.vec_id AS b,

@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import (
     collect_rows,
@@ -894,3 +895,126 @@ def embedding_near_pairs_lsh(
         .map_groups(first_row, batch_format="pandas")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs, max_iters: int = 50):
+    """Connected components over an (a, b) duplicate-pair table →
+    (doc_id, cluster_id) with cluster_id = the component's minimum id —
+    the "keep one representative per duplicate CLUSTER" step that
+    follows any pairwise near-dup stage (pairs from minhash_lsh_pairs /
+    simhash_near_pairs / embedding_near_pairs all fit).
+
+    Algorithm: iterative min-label propagation. labels start as each
+    member's own id; every iteration joins labels across the undirected
+    edge set and keeps the per-node minimum. Each iteration is ONE
+    hash-partitioned Dataset.join + one combiner-fed groupby-min (both
+    keyed on node) and converges in O(component diameter) iterations —
+    dup clusters are shallow (diameter ≪ 10 even at 10^10 docs), and
+    the label sum is strictly decreasing until fixpoint, so the loop
+    exits on the first unchanged sum. Nothing driver-side but the
+    per-iteration 16-byte (sum, count) probe.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks() if isinstance(batch["a"], pa.ChunkedArray) else batch["a"]
+        b = batch["b"].combine_chunks() if isinstance(batch["b"], pa.ChunkedArray) else batch["b"]
+        return pa.table(
+            {
+                "u": pa.concat_arrays([pc.cast(a, pa.int64()), pc.cast(b, pa.int64())]),
+                "v": pa.concat_arrays([pc.cast(b, pa.int64()), pc.cast(a, pa.int64())]),
+            }
+        )
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        undirected, batch_format="pyarrow"
+    ).materialize()  # reused every iteration — materialize once
+
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["u"], "label": batch["u"]})
+
+    _EMPTY_LABELS = pa.table(
+        {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+    )
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        # hash-shuffle stages (join finalize, union+aggregate) emit
+        # ZERO-COLUMN empty blocks; normalize them or acero's next join
+        # dies with "No match for FieldRef(node) on right side"
+        if batch.num_rows == 0 or "node" not in batch.schema.names:
+            return _EMPTY_LABELS
+        df = (
+            pd.DataFrame(
+                {
+                    "node": batch["node"].to_numpy(zero_copy_only=False),
+                    "label": batch["label"].to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("node", as_index=False)
+            .agg(label=("label", "min"))
+        )
+        return _table_from_pandas(df)
+
+    def group_min(ds):
+        # the trailing repartition is load-bearing: the hash aggregate
+        # emits ZERO-COLUMN blocks for empty partitions, map_batches
+        # SKIPS empty blocks (so they cannot be normalized by a UDF),
+        # and a later Dataset.join over such a block dies inside acero
+        # ("No match for FieldRef(node) on right side"). repartition is
+        # a split/coalesce (no shuffle) that concatenates them away.
+        return (
+            ds.map_batches(min_partial, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .repartition(max(4, _fb_buckets()))
+        )
+
+    labels = group_min(edges.map_batches(seed, batch_format="pyarrow")).materialize()
+
+    def checksum(ds) -> tuple:
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return (row["s"], ds.count())
+
+    prev = checksum(labels)
+    for _ in range(max_iters):
+        # neighbor labels: edges (u,v) ⋈ labels(node=u) → candidate (v, label(u)).
+        # The projection+rename is an opaque map_batches on purpose: a
+        # select_columns+rename_columns chain here gets PUSHED BELOW the
+        # join by the logical optimizer, renaming left 'v'→'node' before
+        # the join runs and making the right key FieldRef ambiguous
+        # (ArrowInvalid: multiple matches for 'node').
+        neigh = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=max(4, _fb_buckets()),
+            on=("u",),
+            right_on=("node",),
+        ).map_batches(
+            lambda t: (
+                _EMPTY_LABELS
+                if t.num_rows == 0 or "v" not in t.schema.names
+                else pa.table({"node": t["v"], "label": t["label"]})
+            ),
+            batch_format="pyarrow",
+        )
+        labels = group_min(labels.union(neigh)).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["node"], pa.int64()),
+                "cluster_id": pc.cast(batch["label"], pa.int64()),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -202,3 +202,46 @@ class TestEmbeddingNearDup:
         assert got_pairs <= exact_pairs
         if exact_pairs:
             assert len(got_pairs) / len(exact_pairs) >= 0.9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDuplicateClusters:
+    def _truth(self, n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members = {x for e in edges for x in e}
+        return {x: find(x) for x in members}
+
+    def test_min_label_matches_union_find(self):
+        import ray.data
+
+        # two transitive chains (0-1-2-3, 10-11), one triangle with a
+        # long bridge (20-21, 21-22, 22-99), plus an isolated pair
+        edges = [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 99), (50, 51)]
+        pairs = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+        got = (
+            dedup.duplicate_clusters(pairs)
+            .to_pandas()
+            .set_index("doc_id")["cluster_id"]
+            .to_dict()
+        )
+        assert got == self._truth(100, edges)
+
+    def test_single_edge_and_idempotent(self):
+        import ray.data
+
+        pairs = ray.data.from_items([{"a": 7, "b": 3}])
+        got = dedup.duplicate_clusters(pairs).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == [3, 7]
+        assert list(got["cluster_id"]) == [3, 3]
