@@ -936,6 +936,21 @@ def duplicate_clusters(pairs, max_iters: int = 50):
         undirected, batch_format="pyarrow"
     ).materialize()  # reused every iteration — materialize once
 
+    if edges.count() == 0:
+        # A corpus with no near-dup pairs is a normal input. The
+        # materialized empty edge set yields zero-column blocks that the
+        # first Dataset.join rejects inside acero ("No match or multiple
+        # matches for key field reference FieldRef.Name(u)" on Ray
+        # 2.49.2), so short-circuit with an explicit-schema empty result.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+
     def seed(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["u"], "label": batch["u"]})
 
@@ -982,6 +997,7 @@ def duplicate_clusters(pairs, max_iters: int = 50):
         return (row["s"], ds.count())
 
     prev = checksum(labels)
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: edges (u,v) ⋈ labels(node=u) → candidate (v, label(u)).
         # The projection+rename is an opaque map_batches on purpose: a
@@ -1006,8 +1022,19 @@ def duplicate_clusters(pairs, max_iters: int = 50):
         labels = group_min(labels.union(neigh)).materialize()
         cur = checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        # labels were still changing when max_iters ran out: a component
+        # with diameter > max_iters would silently get split into several
+        # cluster_ids. Surface it rather than returning wrong clusters.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iters={max_iters} "
+            "iterations (a duplicate component's diameter exceeds it); "
+            "re-run with a larger max_iters"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -245,3 +245,28 @@ class TestDuplicateClusters:
         got = got.sort_values("doc_id").reset_index(drop=True)
         assert list(got["doc_id"]) == [3, 7]
         assert list(got["cluster_id"]) == [3, 3]
+
+    def test_empty_pairs_returns_empty_clusters(self):
+        # A corpus with no near-dup pairs must yield an empty result with
+        # the full (doc_id, cluster_id) schema, not an acero join crash.
+        import pyarrow as pa
+        import ray.data
+
+        pairs = ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        )
+        got = dedup.duplicate_clusters(pairs)
+        # Ray's to_pandas() drops columns on a 0-row dataset; the Dataset
+        # schema is the contract the driver compares against.
+        assert got.schema().names == ["doc_id", "cluster_id"]
+        assert got.count() == 0
+
+    def test_non_convergence_raises(self):
+        import ray.data
+
+        # a path graph of diameter 6; min-label propagation needs ~6
+        # iterations, so max_iters=2 must be detected as non-converged
+        edges = [(i, i + 1) for i in range(6)]
+        pairs = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.duplicate_clusters(pairs, max_iters=2)
