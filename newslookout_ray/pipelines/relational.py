@@ -501,15 +501,15 @@ def range_join_event_pairs(events, tolerance_sec: int = 300):
     tol_us = np.int64(tolerance_sec) * 1_000_000
 
     def replicate(batch: pa.Table) -> pa.Table:
+        # SQL semantics: `a.event_type = b.event_type` never matches a
+        # null, so null-type events pair with nothing — drop them before
+        # keying (they'd otherwise need a sentinel that either collapses
+        # all null rows into one hot shuffled group or, worse, pairs
+        # nulls with each other, diverging from the oracle).
+        batch = batch.filter(pc.is_valid(batch["event_type"]))
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
         bucket = ts_us // tol_us
-        # null-safe: join_element_wise propagates nulls, which would
-        # collapse every null-type row across ALL time buckets into one
-        # shuffled group (an O(n²) hot group); a sentinel keeps null a
-        # distinct type value that still buckets by time
-        etype = pc.fill_null(
-            pc.cast(batch["event_type"].combine_chunks(), pa.string()), "\x00null"
-        )
+        etype = pc.cast(batch["event_type"].combine_chunks(), pa.string())
         # key = event_type '#' bucket, composed fully vectorized (one
         # binary_join_element_wise kernel per replica side — no per-row
         # Python in the map side of the shuffle)

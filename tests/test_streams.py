@@ -147,21 +147,29 @@ class TestRangeJoin:
         out = relational.range_join_event_pairs(
             ray.data.from_arrow(events), tolerance_sec=tol
         ).to_pandas()
+        if out.empty:  # Ray drops columns on a 0-row to_pandas()
+            return set(), out
         return set(zip(out["left_id"], out["right_id"])), out
 
-    def test_null_event_type_stays_bucketed(self):
-        """Null event_type must behave as its OWN type value and still
-        bucket by time — not collapse into one global null group (and
-        not crash the vectorized key composition)."""
+    def test_null_event_type_never_pairs(self):
+        """SQL semantics: `a.event_type = b.event_type` never matches a
+        null, so null-type events pair with nothing — not even with each
+        other — while non-null events around them pair normally."""
         pairs, out = self._run(
-            [1, 2, 3, 4],
-            [_ts(0), _ts(4, 0), _ts(40, 0), _ts(41, 0)],
-            [None, None, None, "click"],
+            [1, 2, 3, 4, 5],
+            [_ts(0), _ts(1, 0), _ts(1, 30), _ts(2, 0), _ts(40, 0)],
+            [None, None, "click", "click", None],
             300,
         )
-        # 1-2 within 240s; 3 is 36min away (different buckets, no pair);
-        # 4 is a different type than 3 even at 60s gap
-        assert pairs == {(1, 2)}
+        # 1-2 are nulls 60s apart: no pair. 3-4 are clicks 30s apart:
+        # pair. 5 is a lone null far away: no pair, no crash.
+        assert pairs == {(3, 4)}
+
+    def test_all_null_types_empty_result(self):
+        pairs, out = self._run(
+            [1, 2], [_ts(0), _ts(0, 10)], [None, None], 300
+        )
+        assert pairs == set()
 
     def test_exact_tolerance_included_and_cross_bucket_once(self):
         # 10:00:00 / 10:04:59 straddle no bucket edge; 10:04:59 /
