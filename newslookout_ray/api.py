@@ -616,10 +616,21 @@ def _q_ivf_ann_topk_indexed(sf):
     as a hive partition column, probe-pruned read (only the probed
     list_id directories are scanned). Output equals ivf_topk with the
     same params (test-asserted); approximate by design → rows-only."""
+    import shutil
+    import tempfile
+
     tag = os.path.basename(os.path.normpath(sf))
-    path = f"/tmp/newslookout_ray/ivf_index_{tag}"
-    similarity.ivf_build_index(_read(sf, "embeddings"), path)
-    return similarity.ivf_topk_indexed(path, ANN_QUERY_IDS, k=ANN_K)
+    # per-run unique dir: a fixed world-writable /tmp path lets two
+    # concurrent runs clobber each other's index mid-query (and rmtree
+    # on a shared predictable path is a symlink hazard)
+    path = tempfile.mkdtemp(prefix=f"ivf_index_{tag}_")
+    try:
+        similarity.ivf_build_index(_read(sf, "embeddings"), path)
+        # materialize before cleanup: the top-k result is tiny but reads
+        # lazily from the index files the finally below removes
+        return similarity.ivf_topk_indexed(path, ANN_QUERY_IDS, k=ANN_K).materialize()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _q_simhash_pairs(sf):

@@ -376,13 +376,33 @@ def lsh_topk(embeddings, query_ids, k: int = 5, bits: int = 8, tables: int = 4):
 # ---------------------------------------------------------------------------
 
 
+def _ivf_sample_mask_bits(n: int, train_limit: int) -> int:
+    """Mask width m (filter: vec_id & (2^m − 1) == 0) sizing the training
+    sample to O(train_limit) instead of a fixed 25% of the corpus — at
+    10^10 embeddings a fixed-fraction sample is a driver OOM in the
+    index-build path. Starts at the historical m=2 (so small corpora keep
+    the exact same sample/centroids as before) and widens the mask while
+    the halved sample would still hold ≥ 4·train_limit rows, so the
+    driver-held sample is bounded by ~8·train_limit regardless of n."""
+    m = 2
+    while (n >> (m + 1)) >= 4 * train_limit:
+        m += 1
+    return m
+
+
 def _ivf_train(embeddings, n_centroids: int, train_limit: int) -> np.ndarray:
     """The deterministic hash-sample + spherical-kmeans training shared by
-    ivf_topk and ivf_build_index (identical centroids by construction)."""
+    ivf_topk and ivf_build_index (identical centroids by construction).
+
+    The sample stays O(train_limit) on the driver: the vec_id hash mask
+    is tightened from a cheap count() before anything is collected
+    (deterministic — sequential ids hit every 2^m-th row), then sorted
+    by vec_id and capped, so centroids depend only on (corpus, limit)."""
+    mask = (1 << _ivf_sample_mask_bits(embeddings.count(), train_limit)) - 1
     sample_rows = collect_rows(
         embeddings.map_batches(
             lambda t: t.filter(
-                pa.compute.equal(pa.compute.bit_wise_and(t["vec_id"], 3), 0)
+                pa.compute.equal(pa.compute.bit_wise_and(t["vec_id"], mask), 0)
             ),
             batch_format="pyarrow",
         )

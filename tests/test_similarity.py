@@ -69,6 +69,39 @@ class TestLSH:
         recall = len(bf_set & ivf_set) / len(bf_set)
         assert recall >= 0.5, recall  # nprobe/n_centroids trade-off
 
+    def test_train_mask_keeps_small_corpora_identical(self):
+        # m stays at the historical 2 (25% sample) whenever tightening
+        # would dip under 4*train_limit — sf-scale centroids/goldens
+        # unchanged by the driver-bound fix
+        assert similarity._ivf_sample_mask_bits(5000, 4096) == 2
+        assert similarity._ivf_sample_mask_bits(0, 4096) == 2
+
+    def test_train_sample_bounded_on_100x_corpus(self, monkeypatch):
+        # the index-build path must never collect O(corpus) rows on the
+        # driver: on a corpus 100x train_limit the hash mask tightens so
+        # the collected sample stays within [train_limit, 8*train_limit]
+        import ray.data
+
+        train_limit = 32
+        n = 100 * train_limit
+        rng = np.random.default_rng(1)
+        mat = rng.normal(size=(n, 4))
+        ds = ray.data.from_items(
+            [{"vec_id": i, "embedding": list(map(float, mat[i]))} for i in range(n)]
+        )
+        seen = {}
+        real = similarity.collect_rows
+
+        def spy(d):
+            rows = real(d)
+            seen["n"] = len(rows)
+            return rows
+
+        monkeypatch.setattr(similarity, "collect_rows", spy)
+        cent = similarity._ivf_train(ds, n_centroids=4, train_limit=train_limit)
+        assert cent.shape[0] == 4
+        assert train_limit <= seen["n"] <= 8 * train_limit
+
     def test_ivf_deterministic_and_true_cosines(self, emb_ds):
         mat = _corpus()
         norm = mat / np.linalg.norm(mat, axis=1)[:, None]
@@ -133,22 +166,37 @@ class TestEmptyBatches:
 
 @pytest.mark.usefixtures("ray_session")
 class TestIvfIndexed:
-    def test_equals_ivf_topk_and_prunes_the_read(self, emb_ds, tmp_path):
+    def test_equals_ivf_topk_and_prunes_the_read(self, emb_ds, tmp_path, monkeypatch):
         import os
+        import re
+
+        import ray.data
 
         from newslookout_ray.pipelines import similarity as sim
 
         path = str(tmp_path / "ivf")
         sim.ivf_build_index(emb_ds, path, n_centroids=8)
         queries = [3, 17]
+        nprobe = 2
+
+        # capture every read_parquet path list the indexed search issues
+        read_calls = []
+        real_read = ray.data.read_parquet
+
+        def spy(paths, *a, **kw):
+            read_calls.append(paths)
+            return real_read(paths, *a, **kw)
+
+        monkeypatch.setattr(ray.data, "read_parquet", spy)
         got = (
-            sim.ivf_topk_indexed(path, queries, k=5, nprobe=2)
+            sim.ivf_topk_indexed(path, queries, k=5, nprobe=nprobe)
             .to_pandas()
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
+        monkeypatch.undo()
         want = (
-            sim.ivf_topk(emb_ds, queries, k=5, n_centroids=8, nprobe=2)
+            sim.ivf_topk(emb_ds, queries, k=5, n_centroids=8, nprobe=nprobe)
             .to_pandas()
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
@@ -156,9 +204,21 @@ class TestIvfIndexed:
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, want)
-        # the index really partitioned, and the probe set really prunes:
-        # 2 queries x nprobe 2 <= 4 of the 8 list directories
-        dirs = [d for d in os.listdir(os.path.join(path, "lists")) if d.startswith("list_id=")]
-        assert len(dirs) > 4
+        # pruning asserted DIRECTLY: the candidate scan (the read that got
+        # an explicit file list) touches only <= len(queries)*nprobe of
+        # the written list_id= partition dirs — a strict subset
+        all_dirs = {
+            d
+            for d in os.listdir(os.path.join(path, "lists"))
+            if d.startswith("list_id=")
+        }
+        assert len(all_dirs) > len(queries) * nprobe  # something to prune
+        file_lists = [p for p in read_calls if isinstance(p, list)]
+        assert len(file_lists) == 1  # exactly one pruned candidate scan
+        probed_dirs = {
+            re.search(r"list_id=\d+", f).group(0) for f in file_lists[0]
+        }
+        assert probed_dirs <= all_dirs
+        assert 0 < len(probed_dirs) <= len(queries) * nprobe
         # centroids sidecar exists
         assert os.path.exists(os.path.join(path, "centroids.parquet"))
