@@ -270,3 +270,17 @@ class TestDuplicateClusters:
         pairs = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
         with pytest.raises(RuntimeError, match="did not converge"):
             dedup.duplicate_clusters(pairs, max_iters=2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashGolden:
+    def test_sf0001_content_hash_pinned(self):
+        """dedup_simhash is deterministic (fixed seed hyperplanes), just
+        not SQL-expressible — the driver's check is rows-only, so this
+        pin is the regression lock for the signature math."""
+        from newslookout_ray import api
+
+        from _golden import canon_hash
+
+        got = api.queries()["dedup_simhash"]("/root/testdata/sf0.001").to_pandas()
+        assert canon_hash(got) == "d390f2b4d4dbee5b"

@@ -245,3 +245,18 @@ class TestBoilerplateNgrams:
         self._check(
             ts.boilerplate_ngrams(self._ds(), n=5, min_df=2, broadcast_limit=0)
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFingerprintGolden:
+    def test_sf0001_content_hash_pinned(self):
+        """fingerprint is deterministic (rolling polynomial hash), just
+        not SQL-expressible — so the driver's check is rows-only. This
+        pin turns "returns rows" into "returns the SAME rows": any
+        silent drift in the hash math fails here."""
+        from newslookout_ray import api
+
+        from _golden import canon_hash
+
+        got = api.queries()["fingerprint"]("/root/testdata/sf0.001").to_pandas()
+        assert canon_hash(got) == "3605c37d5e833ac6"
