@@ -456,15 +456,12 @@ def _q_gdelt_urls(sf):
     return gdelt_urls(["/root/reference/test-data/mod_in_gdelt_20210203.zip"], "IN")
 
 
-def _q_crawl_articles(sf):
-    """Flagship: a small deterministic crawl whose pages wrap the sf dir's
-    document texts; returns the extracted articles (rows-only check —
-    byte-identity vs the sequential simulator is proven in pytest)."""
+def _run_q_crawl(sf) -> str:
+    """Run the deterministic flagship crawl over pages wrapping the sf
+    dir's document texts; returns the checkpoint dir its output views
+    (read_articles / read_articles_ds) read from."""
     from .pipelines.crawl import CrawlConfig, run_crawl
     from .sources.pages import PagesSpec, write_pages_corpus
-    import glob
-
-    import pyarrow.parquet as pq
 
     # sort by doc_id: take_all() block order is nondeterministic under the
     # streaming executor, and the corpus must be a pure function of the input
@@ -494,9 +491,16 @@ def _q_crawl_articles(sf):
     shutil.rmtree(root, ignore_errors=True)
     write_pages_corpus(spec, os.path.join(root, "pages"), n_buckets=4)
     run_crawl(os.path.join(root, "pages"), spec, cfg)
+    return cfg.checkpoint_dir
+
+
+def _q_crawl_articles(sf):
+    """Flagship: a small deterministic crawl whose pages wrap the sf dir's
+    document texts; returns the extracted articles (rows-only check —
+    byte-identity vs the sequential simulator is proven in pytest)."""
     from .pipelines.crawl import read_articles
 
-    table = read_articles(os.path.join(root, "ckpt"))
+    table = read_articles(_run_q_crawl(sf))
     return table.select(["url", "host", "unique_id", "pubdate", "title", "text", "state"]).sort_by(
         "url"
     )
@@ -651,17 +655,22 @@ def _q_media_features(sf):
 def _q_processed_articles(sf):
     """Flagship + processor chain: crawl articles → priority-ordered
     processors (dataprep, trigger-word flags, sentiment stub, within-date
-    near-dedup)."""
-    import ray.data
-
+    near-dedup). The chain is fed by the STREAMING articles view
+    (read_articles_ds) — crawl output never materializes driver-side on
+    the way into downstream pipelines; only the final small result does
+    (for the deterministic sort the driver compare needs)."""
+    from .pipelines.crawl import read_articles_ds
     from .pipelines.processors import run_processor_chain
 
-    articles = _q_crawl_articles(sf)
-    ds = ray.data.from_arrow(
-        articles.select(["url", "host", "unique_id", "pubdate", "title", "text"]).append_column(
-            "module", pa.array(["synthetic"] * articles.num_rows)
+    def add_module(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "module", pa.array(["synthetic"] * t.num_rows, pa.string())
         )
-    )
+
+    ckpt = _run_q_crawl(sf)
+    ds = read_articles_ds(
+        ckpt, columns=["url", "host", "unique_id", "pubdate", "title", "text"]
+    ).map_batches(add_module, batch_format="pyarrow")
     out = run_processor_chain(ds, concurrency=2)
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 

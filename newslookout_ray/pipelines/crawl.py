@@ -1536,7 +1536,10 @@ def run_crawl(pages_path: str, spec: PagesSpec, cfg: CrawlConfig) -> dict:
 
 
 def read_articles(checkpoint_dir: str) -> pa.Table:
-    """Articles view over the per-round fetched tables (state==1 rows)."""
+    """Articles view over the per-round fetched tables (state==1 rows) as
+    one driver-side Arrow table — the TEST/CONTRACT form for sf-scale
+    corpora (byte-identity asserts want a whole table). Production reads
+    go through :func:`read_articles_ds`, which streams."""
     import glob
 
     import pyarrow.dataset as pads
@@ -1548,6 +1551,30 @@ def read_articles(checkpoint_dir: str) -> pa.Table:
         return pa.table({})
     dataset = pads.dataset(files, format="parquet")
     return dataset.to_table(filter=pads.field("state") == STATE_ARTICLE)
+
+
+def read_articles_ds(checkpoint_dir: str, columns: list | None = None):
+    """S10 read path at scale: the articles view as a streaming
+    ``ray.data.Dataset`` (mirror of read_metrics) — the public way to
+    read a crawl's output into a downstream pipeline (processor chain,
+    CSV/SOLR sinks, dedup) WITHOUT materializing every round on the
+    driver. The state==ARTICLE predicate and the column projection are
+    pushed into the parquet read (row-group pruning); explicit file list
+    so the round=N directory name is not re-injected as a duplicate hive
+    column. Returns an empty dataset if no round has been fetched yet."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    files = sorted(
+        glob.glob(os.path.join(checkpoint_dir, "fetched", "round=*", "*.parquet"))
+    )
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(
+        files, columns=columns, filter=pads.field("state") == STATE_ARTICLE
+    )
 
 
 def read_metrics(checkpoint_dir: str):

@@ -272,10 +272,9 @@ class TestCsvSink:
     def test_write_articles_csv(self, corpus, tmp_path):
         """S12: distributed CSV export — no text body, list columns
         pipe-joined, url-deduped, readable back with the same rows."""
-        import ray.data
-
         from newslookout_ray.pipelines.crawl import (
             read_articles,
+            read_articles_ds,
             run_crawl,
             write_articles_csv,
         )
@@ -287,7 +286,9 @@ class TestCsvSink:
         assert arts.num_rows > 0
 
         out = str(tmp_path / "csv_out")
-        write_articles_csv(ray.data.from_arrow(arts), out)
+        # the production route: streaming Dataset view -> sink (no
+        # driver materialization of the crawl output)
+        write_articles_csv(read_articles_ds(cfg.checkpoint_dir), out)
 
         back = pd.concat(
             [pd.read_csv(f) for f in glob.glob(os.path.join(out, "*.csv"))],
@@ -297,6 +298,46 @@ class TestCsvSink:
         assert "text" not in back.columns and "links" not in back.columns
         # list columns flattened to strings
         assert back["keywords"].dtype == object
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestArticlesDsView:
+    def test_matches_arrow_view_prunes_and_handles_empty(self, corpus):
+        """read_articles_ds (the streaming production read of a crawl's
+        output) returns exactly read_articles' rows, pushes the column
+        projection into the read, and yields an empty dataset for a
+        checkpoint with no fetched rounds."""
+        from newslookout_ray.pipelines.crawl import (
+            read_articles,
+            read_articles_ds,
+            run_crawl,
+        )
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "ds_view_run"))
+        run_crawl(pages, SPEC, cfg)
+
+        want = (
+            read_articles(cfg.checkpoint_dir)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        got = (
+            read_articles_ds(cfg.checkpoint_dir)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert len(want) > 0
+        pd.testing.assert_frame_equal(got, want)
+
+        pruned = read_articles_ds(cfg.checkpoint_dir, columns=["url", "state"])
+        assert pruned.schema().names == ["url", "state"]
+        assert pruned.count() == len(want)
+
+        empty = read_articles_ds(os.path.join(root, "no_such_ckpt"))
+        assert empty.count() == 0
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -340,11 +381,10 @@ class TestSolrSink:
         readable back as the submit queue a deployment would drain."""
         import json as _json
 
-        import ray.data
-
         from newslookout_ray.pipelines.crawl import (
             SOLR_MIN_ARTICLE_CHARS,
             read_articles,
+            read_articles_ds,
             run_crawl,
             write_solr_payloads,
         )
@@ -356,7 +396,8 @@ class TestSolrSink:
         assert arts.num_rows > 0
 
         out = str(tmp_path / "solr_out")
-        write_solr_payloads(ray.data.from_arrow(arts), out)
+        # the production route: streaming Dataset view -> sink
+        write_solr_payloads(read_articles_ds(cfg.checkpoint_dir), out)
 
         docs = []
         for f in glob.glob(os.path.join(out, "*.json")):
