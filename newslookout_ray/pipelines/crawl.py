@@ -202,38 +202,6 @@ def dedup_first_occurrence(frontier_ds):
     return agg.map_batches(unpack, batch_format="pandas")
 
 
-class SeenFilter:
-    """map_batches stage: drop robots-disallowed rows, then rows whose url
-    is in the seen set (J1). ``robots_ref`` is a broadcast
-    {host: [disallow-prefixes]} built once per run from the corpus's
-    robots.txt pages (north rule: robots enforced in the frontier;
-    unknown hosts pass — no policy known)."""
-
-    def __init__(self, actors, robots_ref=None):
-        import ray
-
-        self.client = SeenSetClient(actors)
-        self.robots = ray.get(robots_ref) if robots_ref is not None else {}
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.robotskit import is_allowed
-
-        if batch.num_rows == 0:
-            return batch
-        if self.robots:
-            urls = batch["url"].to_pylist()
-            hosts = batch["host"].to_pylist()
-            allowed = pa.array(
-                [is_allowed(u, self.robots.get(h)) for u, h in zip(urls, hosts)]
-            )
-            batch = batch.filter(allowed)
-            if batch.num_rows == 0:
-                return batch
-        hashes = url_hash64_batch(batch["url"].to_pylist())
-        seen = self.client.contains_many(hashes)
-        return batch.filter(pa.array(~seen))
-
-
 def _dedup_sort(df: pd.DataFrame) -> pd.DataFrame:
     df = df.assign(pack=_pack_order(df))
     df = df.sort_values(["pack", "url"], kind="mergesort").drop_duplicates(
@@ -569,9 +537,14 @@ def _apply_robots(batch: pa.Table, robots: dict) -> pa.Table:
 
 
 def make_seen_filter(actors, robots_ref):
-    """Stateless-task form of SeenFilter: client construction is trivial
-    (actor handles), so plain tasks reuse warm worker processes with no
-    per-round actor-pool spawn."""
+    """The J1 seen anti-join as a map_batches stage: drop
+    robots-disallowed rows (vectorized _apply_robots; ``robots_ref`` is a
+    broadcast {host: [disallow-prefixes]} built once per run — north
+    rule: robots enforced in the frontier; unknown hosts pass), then
+    rows whose url hash is in the sharded seen set. A stateless task,
+    not an actor: client construction is trivial (actor handles), so
+    plain tasks reuse warm worker processes with no per-round
+    actor-pool spawn."""
     import ray
 
     def stage(batch: pa.Table) -> pa.Table:
