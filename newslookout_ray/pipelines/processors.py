@@ -25,7 +25,6 @@ Built-in processors (reference analogues):
 from __future__ import annotations
 
 import hashlib
-import re
 import zlib
 
 import numpy as np
@@ -68,19 +67,23 @@ class KeywordFlagsStage:
 # M1 — sentiment scorer (model-actor stub with the FinBERT interface)
 # ---------------------------------------------------------------------------
 
-_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
-
-
 class SentimentStage:
     """FinBERT-shaped scorer stub.
 
     Interface parity with the reference (mod_eventclass.py):
       - model state built ONCE per actor in __init__ (the real version
-        loads BertClassification weights here);
-      - __call__ scores a batch: sentences are split, "inference" runs
-        batched over all sentences of the batch, per-article class
-        probabilities are the sums over its sentences (the reference's
-        pandas groupby('url').agg(sum), mod_eventclass.py:177-184).
+        loads BertClassification weights here; the punkt segmenter —
+        the analogue of its vendored nltk punkt model load,
+        mod_eventclass.py:36-40 — is built here too);
+      - sentences come from punkt-parity segmentation of the LOWERCASED
+        text, matching ``sent_tokenize(textValue.lower())``
+        (mod_eventclass.py:165) — abbreviation-heavy news text gets the
+        same boundaries (and thus the same per-article sums once a real
+        model is plugged in) as the reference;
+      - __call__ scores a batch: "inference" runs batched over all
+        sentences of the batch, per-article class probabilities are the
+        sums over its sentences (the reference's pandas
+        groupby('url').agg(sum), mod_eventclass.py:177-184).
 
     The stub's per-sentence logits are a deterministic hash of the
     sentence (seeded) pushed through a softmax — NOT a model; the
@@ -89,10 +92,15 @@ class SentimentStage:
     """
 
     def __init__(self, seed: int = 7):
+        from ..functions.sentkit import _default_tokenize
+
         self.seed = seed
         # stand-in for model weights; deterministic
         rng = np.random.RandomState(seed)
         self.proj = rng.normal(size=(3,)).astype(np.float64)
+        # punkt segmenter state: built once per actor, like the model
+        # (real nltk when importable, vendored-parameter engine else)
+        self._segment = _default_tokenize()
 
     def _sentence_logits(self, sentences) -> np.ndarray:
         out = np.empty((len(sentences), 3), dtype=np.float64)
@@ -105,10 +113,11 @@ class SentimentStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        # flatten: all sentences of the batch scored in one "inference"
+        # flatten: all sentences of the batch scored in one "inference";
+        # lowercased first, exactly like the reference's classifyText
         sentences, owner = [], []
         for i, t in enumerate(texts):
-            for s in _SENT_SPLIT.split(t or ""):
+            for s in self._segment((t or "").lower()):
                 if s:
                     sentences.append(s)
                     owner.append(i)
