@@ -125,6 +125,19 @@ class CrawlConfig:
     #: own grouping).
     frontier_buckets: int = 64
     metrics_partitions: int = 8
+    #: cooperative shutdown (reference GracefulShutdownHandler +
+    #: run(max_runtime) analogue, queue_manager.py:722-778 /
+    #: scraper_app.py:293-427): >0 stops AFTER the round in flight once
+    #: the wall-clock budget is exhausted — the round completes and
+    #: writes its manifest, so a resume continues exactly where it
+    #: stopped. The stop FILE ({checkpoint}/STOP, see request_stop) is
+    #: the cross-process form: touch it (or let a SIGTERM handler touch
+    #: it) and the run ends at the next round boundary.
+    max_runtime_sec: float = 0.0
+    #: refuse to start when another live process holds this checkpoint
+    #: (reference PID-lock analogue, scraper_app.py:256-280); stale
+    #: locks from dead pids are reclaimed automatically
+    pid_lock: bool = True
     profile: SiteProfile = field(default_factory=lambda: DEFAULT_PROFILE)
 
 
@@ -995,6 +1008,88 @@ def _manifest_path(cfg: CrawlConfig, r: int) -> str:
     return os.path.join(cfg.checkpoint_dir, "manifest", f"round={r}.json")
 
 
+# ---------------------------------------------------------------------------
+# cooperative shutdown + pid lock (reference queue_manager.py:722-778
+# GracefulShutdownHandler / scraper_app.py:256-280 pid lock /
+# scraper_app.py:293-427 max_runtime — re-expressed for a round-based
+# engine: stops land on ROUND boundaries, where the manifest-last
+# checkpoint makes them free)
+# ---------------------------------------------------------------------------
+
+
+def stop_file_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "STOP")
+
+
+def request_stop(checkpoint_dir: str, reason: str = "requested") -> str:
+    """Ask a (possibly remote-process) crawl on this checkpoint to end
+    after its current round. Idempotent; the file persists until
+    clear_stop so an accidental resume cannot blow past an operator's
+    stop. Wire it to SIGTERM with install_stop_signal_handler."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = stop_file_path(checkpoint_dir)
+    with open(path, "w", encoding="utf-8") as fp:
+        fp.write(reason)
+    return path
+
+
+def clear_stop(checkpoint_dir: str) -> None:
+    try:
+        os.remove(stop_file_path(checkpoint_dir))
+    except FileNotFoundError:
+        pass
+
+
+def install_stop_signal_handler(checkpoint_dir: str, signals=None):
+    """Route SIGTERM/SIGINT to request_stop so a kill ends the run at
+    the next round boundary with a clean manifest instead of wasting the
+    round. Main-thread only (signal module constraint); returns the
+    previous handlers for restoration."""
+    import signal as _signal
+
+    sigs = signals if signals is not None else (_signal.SIGTERM, _signal.SIGINT)
+    prev = {}
+    for s in sigs:
+        prev[s] = _signal.signal(
+            s, lambda signum, frame: request_stop(checkpoint_dir, f"signal {signum}")
+        )
+    return prev
+
+
+class _PidLock:
+    """{checkpoint}/LOCK.pid: one live crawl per checkpoint dir."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.path = os.path.join(checkpoint_dir, "LOCK.pid")
+
+    def acquire(self) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        try:
+            with open(self.path, encoding="utf-8") as fp:
+                holder = int(fp.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            holder = 0
+        if holder and holder != os.getpid():
+            try:
+                os.kill(holder, 0)  # probe only: is the holder alive?
+            except (ProcessLookupError, PermissionError):
+                holder = 0  # stale lock from a dead run — reclaim
+            if holder:
+                raise RuntimeError(
+                    f"checkpoint {os.path.dirname(self.path)} is locked by "
+                    f"live pid {holder} (LOCK.pid); a second concurrent "
+                    "crawl on one checkpoint would corrupt rounds"
+                )
+        with open(self.path, "w", encoding="utf-8") as fp:
+            fp.write(str(os.getpid()))
+
+    def release(self) -> None:
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+
 def _frontier_dir(cfg: CrawlConfig, r: int) -> str:
     return os.path.join(cfg.checkpoint_dir, "frontier", f"round={r}")
 
@@ -1158,10 +1253,38 @@ class CrawlRun:
             FRONTIER_SCHEMA.names
         )
 
+    def _stop_reason(self, t_start: float):
+        """Round-boundary cooperative-shutdown probe: the operator's
+        STOP file or an exhausted max_runtime budget (both leave the
+        finished rounds' manifests intact — resume continues from the
+        next round)."""
+        path = stop_file_path(self.cfg.checkpoint_dir)
+        if os.path.exists(path):
+            try:
+                with open(path, encoding="utf-8") as fp:
+                    return f"stop file: {fp.read().strip() or 'requested'}"
+            except OSError:
+                return "stop file"
+        if self.cfg.max_runtime_sec > 0 and time.time() - t_start >= self.cfg.max_runtime_sec:
+            return f"max_runtime {self.cfg.max_runtime_sec}s exhausted"
+        return None
+
     # -- the round ------------------------------------------------------
     def run(self) -> dict:
         cfg = self.cfg
         os.makedirs(os.path.join(cfg.checkpoint_dir, "manifest"), exist_ok=True)
+        lock = _PidLock(cfg.checkpoint_dir) if cfg.pid_lock else None
+        if lock is not None:
+            lock.acquire()
+        try:
+            return self._run_locked()
+        finally:
+            if lock is not None:
+                lock.release()
+
+    def _run_locked(self) -> dict:
+        cfg = self.cfg
+        t_start = time.time()
 
         last_done = self._last_complete_round()
         if last_done >= 0:
@@ -1181,6 +1304,10 @@ class CrawlRun:
             if r <= last_done:
                 summary["rounds"].append({"round": r, "skipped": True})
                 continue
+            reason = self._stop_reason(t_start)
+            if reason is not None:
+                summary["stopped_early"] = {"before_round": r, "reason": reason}
+                break
             summary["rounds"].append(self._run_round(r))
         summary["seen_total"] = self.client.total_size()
         return summary

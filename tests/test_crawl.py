@@ -4,6 +4,7 @@ text, resume-from-checkpoint without re-fetching."""
 
 from __future__ import annotations
 
+import dataclasses
 import glob
 import os
 import shutil
@@ -298,6 +299,101 @@ class TestCsvSink:
         assert "text" not in back.columns and "links" not in back.columns
         # list columns flattened to strings
         assert back["keywords"].dtype == object
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCooperativeShutdown:
+    def test_stop_file_ends_at_round_boundary_and_resume_is_identical(self, corpus):
+        """Reference GracefulShutdownHandler analogue: a stop requested
+        mid-run ends AFTER the current round with a clean manifest, and
+        a later resume completes byte-identically to an uninterrupted
+        run."""
+        import threading
+
+        from newslookout_ray.pipelines.crawl import clear_stop, request_stop
+
+        root, pages = corpus
+
+        # uninterrupted 3-round reference run
+        full = _cfg(os.path.join(root, "stop_full"), rounds=3)
+        run_crawl(pages, SPEC, full)
+
+        stopped = _cfg(os.path.join(root, "stop_run"), rounds=3)
+
+        # drop the STOP file the moment round 0's manifest lands — i.e.
+        # genuinely mid-run, between rounds 0 and 2 finishing
+        manifest0 = os.path.join(stopped.checkpoint_dir, "manifest", "round=0.json")
+
+        def stopper():
+            import time
+
+            while not os.path.exists(manifest0):
+                time.sleep(0.01)
+            request_stop(stopped.checkpoint_dir, "test stop")
+
+        t = threading.Thread(target=stopper)
+        t.start()
+        summary = run_crawl(pages, SPEC, stopped)
+        t.join()
+        assert "stopped_early" in summary
+        done_rounds = len(summary["rounds"])
+        assert 1 <= done_rounds < 3
+        assert summary["stopped_early"]["before_round"] == done_rounds
+        # every completed round has its manifest (clean boundary)
+        for r in range(done_rounds):
+            assert os.path.exists(
+                os.path.join(stopped.checkpoint_dir, "manifest", f"round={r}.json")
+            )
+
+        # a resume with the STOP file still present refuses to proceed
+        again = run_crawl(pages, SPEC, stopped)
+        assert again["stopped_early"]["before_round"] == done_rounds
+        assert all(r.get("skipped") for r in again["rounds"])
+
+        # clear + resume completes, identical to the uninterrupted run
+        clear_stop(stopped.checkpoint_dir)
+        run_crawl(pages, SPEC, stopped)
+        assert _read_articles(stopped.checkpoint_dir) == _read_articles(
+            full.checkpoint_dir
+        )
+        assert _read_seen(stopped.checkpoint_dir) == _read_seen(full.checkpoint_dir)
+
+    def test_max_runtime_stops_before_next_round(self, corpus):
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "runtime_run"), rounds=2)
+        cfg = dataclasses.replace(cfg, max_runtime_sec=1e-9)
+        summary = run_crawl(pages, SPEC, cfg)
+        assert summary["rounds"] == []
+        assert "max_runtime" in summary["stopped_early"]["reason"]
+
+    def test_pid_lock_blocks_live_holder_reclaims_dead(self, corpus, tmp_path):
+        from newslookout_ray.pipelines.crawl import _PidLock
+
+        root, pages = corpus
+        cfg = _cfg(os.path.join(root, "lock_run"))
+
+        # a LIVE holder (this very process) blocks a second run
+        lock = _PidLock(cfg.checkpoint_dir)
+        lock.acquire()
+        try:
+            other = _PidLock(cfg.checkpoint_dir)
+            other.path = lock.path
+            # simulate a different process by lying about our pid via a
+            # foreign live pid in the file: pid 1 is always alive
+            with open(lock.path, "w") as fp:
+                fp.write("1")
+            with pytest.raises(RuntimeError, match="locked by live pid"):
+                run_crawl(pages, SPEC, cfg)
+        finally:
+            lock.release()
+
+        # a STALE holder (dead pid) is reclaimed and the run proceeds
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        with open(os.path.join(cfg.checkpoint_dir, "LOCK.pid"), "w") as fp:
+            fp.write("999999999")
+        summary = run_crawl(pages, SPEC, cfg)
+        assert len(summary["rounds"]) == 2
+        assert not os.path.exists(os.path.join(cfg.checkpoint_dir, "LOCK.pid"))
 
 
 @pytest.mark.usefixtures("ray_session")
