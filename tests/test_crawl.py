@@ -80,14 +80,18 @@ class TestCrawlEquivalence:
         for url, text in arts.items():
             assert text == sim.articles[url], url  # byte-identical contract
 
-    def test_join_path_matches_simulator(self, corpus):
-        """Force the distributed hash-join fetch (broadcast_limit=0): the
-        selected frontier is never collected on the driver, and the
-        LEFT OUTER join must reproduce the exact same order/seen/articles
-        as the broadcast path and the sequential simulator."""
+    @pytest.mark.parametrize("fetch_join", ["bucket", "hash"])
+    def test_join_path_matches_simulator(self, corpus, fetch_join):
+        """Force the distributed fetch (broadcast_limit=0): the selected
+        frontier is never collected on the driver, and BOTH over-limit
+        strategies — the bucketed co-partitioned fetch (default) and the
+        acero hash-join fallback — must reproduce the exact same
+        order/seen/articles as the broadcast path and the sequential
+        simulator."""
         root, pages = corpus
-        cfg = _cfg(os.path.join(root, "joinpath"), rounds=3)
+        cfg = _cfg(os.path.join(root, f"joinpath_{fetch_join}"), rounds=3)
         cfg.broadcast_limit = 0
+        cfg.fetch_join = fetch_join
         run_crawl(pages, SPEC, cfg)
 
         sim = simulate_crawl(SPEC, cfg)
@@ -103,6 +107,11 @@ class TestCrawlEquivalence:
         assert set(arts) == set(sim.articles)
         for url, text in arts.items():
             assert text == sim.articles[url], url
+        # the bucketed path's transient co-partitioned shards are cleaned
+        # up after each round
+        assert not glob.glob(
+            os.path.join(cfg.checkpoint_dir, "selected", "round=*", "pb=*")
+        )
 
     def test_legacy_frontier_matches_simulator(self, corpus):
         """frontier_buckets=0 (single-dir frontier write + shuffle-based
