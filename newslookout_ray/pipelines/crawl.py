@@ -1722,27 +1722,17 @@ class CrawlRun:
                         batch_size=eb,
                     )
                 )
-            if buckets:
-                # per-bucket anti-join: selected urls with no page on
-                # "the web" become status-404 rows, one task per bucket
-                branches.append(
-                    ray.data.from_items(
-                        [{"pb": int(b)} for b in buckets],
-                        override_num_blocks=len(buckets),
-                    ).map_batches(
-                        make_bucket_missing(
-                            sel_dir, self.pages_path, kinds, cfg.profile.name
-                        ),
-                        batch_format="pyarrow",
-                        batch_size=1,
-                    )
-                )
-            if not branches:
-                extracted = ray.data.from_arrow(_empty_extract_table())
-            elif len(branches) == 1:
-                extracted = branches[0]
-            else:
-                extracted = branches[0].union(*branches[1:])
+            # the missing-url anti-join runs as its OWN tiny execution
+            # AFTER the round body (see below) — keeping it out of the
+            # union keeps the round body at the broadcast path's operator
+            # count (the streaming executor reserves resources PER
+            # operator, and an extra side branch starves the hot probe
+            # operator at low CPU counts)
+            extracted = (
+                branches[0]
+                if branches
+                else ray.data.from_arrow(_empty_extract_table())
+            )
         else:
             # hash-join path: the selected frontier stays distributed.
             # Bucket pruning still applies — the distinct bucket set is
@@ -1820,6 +1810,32 @@ class CrawlRun:
                 file=_sys.stderr,
             )
         _mark("fetch_extract_sink")
+
+        if sel_dir is not None and buckets:
+            # bucketed path: per-bucket anti-join (selected urls with no
+            # page on "the web" → status-404 rows) pushed through the
+            # SAME sink stage (shard write + seen mark + metrics
+            # partial + empty links) as its own tiny n_buckets-task
+            # execution AFTER the round body — inside the body's union
+            # it inflated the operator count and starved the probe
+            # operator's resource budget at low CPU counts
+            ray.data.from_items(
+                [{"pb": int(b)} for b in buckets],
+                override_num_blocks=len(buckets),
+            ).map_batches(
+                make_bucket_missing(
+                    sel_dir, self.pages_path, kinds, cfg.profile.name
+                ),
+                batch_format="pyarrow",
+                batch_size=1,
+            ).map_batches(
+                make_sink_stage(
+                    self.actors, collector, fetched_dir, r,
+                    cfg.metrics_partitions, cfg.max_pending_attempts,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).materialize()
 
         partials, matched_lists = ray.get(collector.results.remote())
         if broadcast:
