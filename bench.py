@@ -232,22 +232,13 @@ def run_bench() -> dict:
     from newslookout_ray.pipelines.processors import run_processor_chain
 
     t0 = time.time()
-    import pyarrow.compute as _pc
+    # the public streaming articles view: state==ARTICLE predicate AND
+    # the 4-of-20 column projection both pushed into the parquet scan
+    # (a mid-stream filter blocks Ray's projection pushdown; the marks
+    # branch re-reads the same lineage, so the pruning lands twice)
+    from newslookout_ray.pipelines.crawl import read_articles_ds
 
-    # column-pruned read: the chain consumes 4 of the sink's 20 columns,
-    # and the mid-stream filter blocks Ray's projection pushdown — prune
-    # at the read explicitly (the marks branch re-reads the same lineage,
-    # so the saving lands twice)
-    articles = (
-        ray.data.read_parquet(
-            os.path.join(ckpt, "fetched"),
-            columns=["url", "module", "pubdate", "text", "state"],
-        )
-        .map_batches(
-            lambda t: t.filter(_pc.equal(t["state"], 1)).drop_columns(["state"]),
-            batch_format="pyarrow",
-        )
-    )
+    articles = read_articles_ds(ckpt, columns=["url", "module", "pubdate", "text"])
     # two actor stages in the chain: size each pool at ~cpus/3 so reads
     # and the final groupby keep CPUs (see run_processor_chain docstring)
     # overlap is only safe when the article count is provably under

@@ -174,7 +174,7 @@ def _q_keyword_flags(sf):
     docs = _read(sf, "documents").select_columns(["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        flags = textkit.keyword_flags_batch(batch["text"].to_pylist())
+        flags = textkit.keyword_flags_batch_arrow(batch["text"])
         return pa.table(
             {name.lower(): pa.array([int(arr.sum())], pa.int64()) for name, arr in flags.items()}
         )

