@@ -322,9 +322,18 @@ def run_scaling(repeats: int = 2) -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
+    # Interleave the legs (8, 32, 8, 32) rather than running them in
+    # blocks: on this noisy shared host the dominant error mode is the
+    # two blocks landing in different noise windows (one quiet, one
+    # degraded), which skews the ratio in either direction. Alternating
+    # samples both parallelism levels from the same windows; the
+    # workload, repeat count and min-of-repeats reduction are unchanged.
+    raw = {8: [], 32: []}
+    for _ in range(repeats):
+        for ncpu in (8, 32):
+            raw[ncpu].append(one_leg(ncpu))
     out = {}
-    for ncpu in (8, 32):
-        legs = [one_leg(ncpu) for _ in range(repeats)]
+    for ncpu, legs in raw.items():
         out[ncpu] = min(legs, key=lambda d: d["value"])
         out[ncpu]["all_runs_sec"] = [d["value"] for d in legs]
         # per-metric best across repeats (noisy-host min-of-repeats,
